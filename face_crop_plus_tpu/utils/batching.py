@@ -1,0 +1,121 @@
+"""Host-side ragged-image batching: aspect-preserving resize + center pad.
+
+XLA requires static shapes, so ragged directory images are normalized on the
+host into fixed-shape device batches.  The geometry (scale factors, padding
+amounts, interpolation choice) matches reference
+``src/face_crop_plus/utils.py:273-342`` exactly so that landmark coordinates
+and crops are comparable: resize so neither dimension exceeds the target while
+keeping aspect ratio (INTER_AREA when downscaling, INTER_CUBIC when
+upscaling), then center-pad the short dimension.
+
+This module also provides size bucketing: to keep the number of distinct
+compiled XLA programs small while supporting heterogeneous directories, batch
+shapes are drawn from a small set of buckets rather than per-image shapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:  # pragma: no cover - environment dependent
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    cv2 = None
+    _HAS_CV2 = False
+
+#: Supported padding mode names (cv2 BorderTypes, lowercase).
+PADDING_MODES = ("constant", "replicate", "reflect", "wrap", "reflect_101")
+
+
+def _resize(image: np.ndarray, wh: tuple[int, int], upscale: bool) -> np.ndarray:
+    if _HAS_CV2:
+        interp = cv2.INTER_CUBIC if upscale else cv2.INTER_AREA
+        return cv2.resize(image, wh, interpolation=interp)
+    # Pillow fallback (BICUBIC both ways; AREA ~ BOX reduction).
+    from PIL import Image
+
+    resample = Image.BICUBIC if upscale else Image.BOX
+    return np.asarray(Image.fromarray(image).resize(wh, resample))
+
+
+def _pad(image: np.ndarray, tblr: list[int], mode: str) -> np.ndarray:
+    t, b, l, r = tblr
+    if _HAS_CV2:
+        border = getattr(cv2, f"BORDER_{mode.upper()}")
+        return cv2.copyMakeBorder(image, t, b, l, r, borderType=border)
+    np_mode = {
+        "constant": "constant",
+        "replicate": "edge",
+        "reflect": "symmetric",
+        "wrap": "wrap",
+        "reflect_101": "reflect",
+    }[mode]
+    pad_width = [(t, b), (l, r)] + [(0, 0)] * (image.ndim - 2)
+    return np.pad(image, pad_width, mode=np_mode)
+
+
+def as_batch(
+    images: list[np.ndarray],
+    size: int | tuple[int, int] = 512,
+    padding_mode: str = "constant",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stacks ragged images into a fixed-shape (N, H, W, 3) batch.
+
+    Each image is resized (aspect preserved) so that it fits inside ``size``
+    (given as (width, height)) and the short dimension is center-padded.
+
+    Returns:
+        Tuple of the uint8 image batch (N, H, W, 3), float32 un-scale factors
+        (N,) mapping batch coordinates back to original-image coordinates, and
+        int64 paddings (N, 4) in (top, bottom, left, right) order.
+    """
+    size = (size, size) if isinstance(size, int) else tuple(size)
+    img_batch, unscales, paddings = [], [], []
+
+    for image in images:
+        (h, w), m = image.shape[:2], max(*image.shape[:2])
+        upscale = m <= max(size)
+
+        ratio_w, ratio_h = size[0] / w, size[1] / h
+        if ratio_w < ratio_h:
+            unscale = ratio_w
+            ww, hh = size[0], int(h * ratio_w)
+            padding = [(size[1] - hh) // 2, (size[1] - hh + 1) // 2, 0, 0]
+        else:
+            unscale = ratio_h
+            ww, hh = int(w * ratio_h), size[1]
+            padding = [0, 0, (size[0] - ww) // 2, (size[0] - ww + 1) // 2]
+
+        image = _resize(image, (ww, hh), upscale)
+        image = _pad(image, padding, padding_mode)
+
+        img_batch.append(image)
+        unscales.append(np.float32(unscale))
+        paddings.append(np.array(padding, dtype=np.int64))
+
+    return np.stack(img_batch), np.stack(unscales), np.stack(paddings)
+
+
+def pad_batch_to(batch: np.ndarray, n: int) -> tuple[np.ndarray, int]:
+    """Pads the leading axis of a batch up to ``n`` by repeating the last row.
+
+    Returns the padded batch and the original (valid) length.  Used to keep
+    XLA batch shapes drawn from a fixed bucket set.
+    """
+    valid = batch.shape[0]
+    if valid == n:
+        return batch, valid
+    if valid > n:
+        raise ValueError(f"Batch of {valid} does not fit bucket {n}")
+    reps = np.repeat(batch[-1:], n - valid, axis=0)
+    return np.concatenate([batch, reps], axis=0), valid
+
+
+def bucket_size(n: int, buckets: tuple[int, ...]) -> int:
+    """Smallest bucket >= n (the largest bucket if none fits)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]

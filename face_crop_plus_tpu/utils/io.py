@@ -1,0 +1,88 @@
+"""Host-side image I/O: decode, encode, directory reading.
+
+Image codecs are inherently host work (the only data path that feeds the
+device), so this module intentionally stays on the CPU.  It prefers OpenCV's
+C++ codecs when available and falls back to Pillow.  Behavioral parity with
+reference ``src/face_crop_plus/utils.py:228-271`` (read) and
+``src/face_crop_plus/cropper.py:554-609`` (write): unreadable files warn and
+are skipped while index alignment is preserved; color images are saved via
+BGR (OpenCV convention); masks are saved as single-channel images.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+import numpy as np
+
+try:  # pragma: no cover - environment dependent
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    cv2 = None
+    _HAS_CV2 = False
+
+try:  # pragma: no cover - environment dependent
+    from PIL import Image
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    Image = None
+    _HAS_PIL = False
+
+
+def imread_rgb(path: str) -> np.ndarray | None:
+    """Decodes one image file to an RGB uint8 (H, W, 3) array, or None."""
+    if _HAS_CV2:
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            return None
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if _HAS_PIL:
+        try:
+            with Image.open(path) as im:
+                return np.asarray(im.convert("RGB"))
+        except Exception:
+            return None
+    raise RuntimeError("No image decoding backend available (cv2 or PIL).")
+
+
+def imwrite(path: str, image: np.ndarray) -> bool:
+    """Encodes an RGB (H, W, 3) or grayscale (H, W) uint8 array to a file."""
+    image = np.ascontiguousarray(image)
+    if _HAS_CV2:
+        if image.ndim == 3:
+            image = cv2.cvtColor(image, cv2.COLOR_RGB2BGR)
+        return bool(cv2.imwrite(path, image))
+    if _HAS_PIL:
+        Image.fromarray(image).save(path)
+        return True
+    raise RuntimeError("No image encoding backend available (cv2 or PIL).")
+
+
+def read_images(
+    file_names: list[str],
+    input_dir: str,
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """Reads a batch of images from a directory.
+
+    Unreadable images produce a warning and are dropped; the returned file
+    name array only contains names of images that decoded successfully
+    (matches reference utils.py:228-271).
+
+    Returns:
+        Tuple of a list of RGB uint8 (H, W, 3) arrays and the corresponding
+        (N,) file name array.
+    """
+    images, kept = [], []
+    for i, file_name in enumerate(file_names):
+        path = os.path.join(input_dir, file_name)
+        image = imread_rgb(path)
+        if image is None:
+            warnings.warn(f"Could not read the image {path}")
+            continue
+        images.append(image)
+        kept.append(i)
+    return images, np.array(file_names)[kept]

@@ -1,0 +1,107 @@
+"""OS-safe filename cleaning (pre-pass utility).
+
+Equivalent functionality to reference ``src/face_crop_plus/utils.py:344-453``:
+transliterate non-ASCII names, strip reserved characters, truncate to a path
+budget and deduplicate case-insensitively with ``-N`` suffixes.  Uses
+``unidecode`` when installed, otherwise falls back to a NFKD-based ASCII
+transliteration.
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import re
+import shutil
+import unicodedata
+
+try:  # pragma: no cover - optional dependency
+    import unidecode as _unidecode
+
+    def _to_ascii(s: str) -> str:
+        return _unidecode.unidecode(s)
+
+except Exception:  # pragma: no cover
+
+    def _to_ascii(s: str) -> str:
+        out = unicodedata.normalize("NFKD", s)
+        return out.encode("ascii", "ignore").decode("ascii")
+
+
+DEFAULT_EXCLUDE = set("\00!@#$%^&*?={}:;'<>,.?/\\|" + '"')
+
+
+def clean_names(
+    input_dir: str,
+    output_dir: str | None = None,
+    max_chars: int = 250,
+    exclude: set | None = None,
+    desc: str | None = "Cleaning file names",
+):
+    """Renames (in place) or copies files in a directory to OS-safe names.
+
+    Args:
+        input_dir: Directory containing only files to process.
+        output_dir: If given, cleaned copies are written here; otherwise
+            files are renamed in place.
+        max_chars: Maximum number of characters per file *path*.
+        exclude: Characters to strip from the base name (not the extension).
+        desc: Progress bar description; None disables the progress bar.
+
+    Raises:
+        RuntimeError: If the directory path leaves fewer than 6 characters
+            of name budget.
+    """
+    if exclude is None:
+        exclude = DEFAULT_EXCLUDE
+
+    max_chars -= len(input_dir)
+    filename_counts = collections.defaultdict(lambda: -1)
+
+    if max_chars <= 5:
+        raise RuntimeError(
+            f"Directory path length is too long ({len(input_dir)}) Either "
+            f"reduce the length of the directory name or increase `max_chars`."
+        )
+
+    if output_dir is not None:
+        os.makedirs(output_dir, exist_ok=True)
+
+    filenames = os.listdir(input_dir)
+
+    if desc is not None:
+        try:
+            import tqdm
+
+            filenames = tqdm.tqdm(filenames, desc=desc)
+        except Exception:  # pragma: no cover
+            pass
+
+    for filename in filenames:
+        name, ext = os.path.splitext(filename)
+
+        if not name.isascii():
+            name = _to_ascii(name)
+
+        bad = set(name) & exclude
+        if bad:
+            name = re.sub(f"[{re.escape(''.join(bad))}]", "", name)
+
+        if len(filename) > max_chars:
+            name = name[: max_chars - len(ext)]
+
+        filename_counts[(name + ext).lower()] += 1
+        while (count := filename_counts[(name + ext).lower()]) > 0:
+            name += f"-{count}"
+            filename_counts[(name + ext).lower()] += 1
+
+        if output_dir is not None:
+            shutil.copy(
+                os.path.join(input_dir, filename),
+                os.path.join(output_dir, name + ext),
+            )
+        elif name + ext != filename:
+            os.rename(
+                os.path.join(input_dir, filename),
+                os.path.join(input_dir, name + ext),
+            )

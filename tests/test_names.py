@@ -1,0 +1,58 @@
+"""Tests for OS-safe filename cleaning."""
+
+import os
+
+from face_crop_plus_tpu.utils.names import clean_names
+
+
+def _touch(d, name):
+    with open(os.path.join(d, name), "w") as f:
+        f.write("x")
+
+
+def test_clean_names_copy(tmp_path):
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    src.mkdir()
+    _touch(src, "hello world.jpg")
+    _touch(src, "a<>b.jpg")
+    clean_names(str(src), str(dst), desc=None)
+    names = sorted(os.listdir(dst))
+    assert "hello world.jpg" in names
+    assert "ab.jpg" in names
+
+
+def test_clean_names_dedup(tmp_path):
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    src.mkdir()
+    # Different raw names collapsing to the same clean name.
+    _touch(src, "ab.jpg")
+    _touch(src, "a!b.jpg")
+    _touch(src, "a?b.jpg")
+    clean_names(str(src), str(dst), desc=None)
+    names = sorted(os.listdir(dst))
+    assert len(names) == 3
+    assert len(set(n.lower() for n in names)) == 3
+
+
+def test_clean_names_inplace_nonascii(tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _touch(src, "České.jpg")
+    clean_names(str(src), None, desc=None)
+    names = os.listdir(src)
+    assert len(names) == 1
+    assert names[0].isascii()
+
+
+def test_clean_names_truncation(tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    long_name = "x" * 180 + ".jpg"
+    _touch(src, long_name)
+    clean_names(str(src), None, max_chars=100, desc=None)
+    names = os.listdir(src)
+    assert len(names) == 1
+    # Name budget is max_chars minus the directory length (reference rule).
+    assert len(names[0]) <= 100 - len(str(src))
