@@ -1,0 +1,7 @@
+"""Neural models: detection (RetinaFace), enhancement (RRDBNet/BSRGAN x4),
+parsing (BiSeNet) — functional JAX inference models with converted weights.
+"""
+
+from .detection import RetinaFace
+
+__all__ = ["RetinaFace"]
