@@ -109,7 +109,8 @@ def select_faces(
         (matching the reference's NMS-kept ordering).
     """
     s = jnp.where(scores > vis_threshold, scores, -jnp.inf)
-    top_s, top_i = lax.top_k(s, pre_topk)  # (N, K) score-desc
+    k = min(pre_topk, scores.shape[1])  # static clamp for tiny inputs
+    top_s, top_i = lax.top_k(s, k)  # (N, K) score-desc
     valid = jnp.isfinite(top_s)
 
     b = jnp.take_along_axis(boxes, top_i[..., None], axis=1)  # (N, K, 4)
