@@ -1,0 +1,144 @@
+"""Command-line interface (flag surface mirrors the reference CLI).
+
+Same UX contract as the reference's ``__main__.py``: all Cropper config is
+exposed as flags, a JSON config file can provide defaults that individual
+flags override (``-c/--config``), negative thresholds mean "disabled", and
+``device="auto"`` picks the accelerator when available.  Optional filename
+cleaning runs as a pre-pass, either into a temp directory or in place.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+from typing import Any
+
+from .cropper import Cropper
+from .utils.names import clean_names
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="face-crop-plus-tpu",
+        description="TPU-native face cropping, enhancement and parsing.",
+    )
+    p.add_argument("-c", "--config", type=str, default=None,
+                   help="Path to a JSON file with argument defaults; "
+                        "command-line flags override entries of the same name.")
+    p.add_argument("-i", "--input_dir", type=str,
+                   help="Path to input directory with image files.")
+    p.add_argument("-o", "--output-dir", type=str,
+                   help="Output directory for extracted faces (default: "
+                        "input_dir + '_faces').")
+    p.add_argument("-cn", "--clean-names", action="store_true",
+                   help="Copy files to a temp dir with OS-safe names before "
+                        "processing.")
+    p.add_argument("-ci", "--clean-names-inplace", action="store_true",
+                   help="Rename files to OS-safe names in place (overrides -cn).")
+    p.add_argument("-s", "--output-size", type=int, nargs="+", default=[256, 256],
+                   help="Crop output size (width height). Default 256 256.")
+    p.add_argument("-f", "--output-format", type=str,
+                   help="Output image format (e.g. jpg, png); default keeps "
+                        "each source extension.")
+    p.add_argument("-r", "--resize-size", type=int, nargs="+", default=[1024, 1024],
+                   help="Interim batching size (width height). Default 1024 1024.")
+    p.add_argument("-ff", "--face-factor", type=float, default=0.65,
+                   help="Fraction of the output image occupied by the face.")
+    p.add_argument("-st", "--strategy", type=str, default="largest",
+                   choices=["all", "best", "largest"],
+                   help="Face extraction strategy per image.")
+    p.add_argument("-p", "--padding", type=str, default="constant",
+                   choices=["constant", "replicate", "reflect", "wrap", "reflect_101"],
+                   help="Border mode for out-of-image crop regions.")
+    p.add_argument("-a", "--allow-skew", action="store_true",
+                   help="Allow full-affine (skewed) alignment.")
+    p.add_argument("-l", "--landmarks", type=str,
+                   help="Path to a landmarks file (json/csv/txt) to skip detection.")
+    p.add_argument("-ag", "--attr-groups", type=json.loads,
+                   help='JSON dict of attribute groups, e.g. \'{"glasses": [6]}\'.')
+    p.add_argument("-mg", "--mask-groups", type=json.loads,
+                   help='JSON dict of mask groups, e.g. \'{"eyes": [4, 5]}\'.')
+    p.add_argument("-dt", "--det-threshold", type=float, default=0.6,
+                   help="Face detection confidence threshold; negative disables "
+                        "detection.")
+    p.add_argument("-et", "--enh-threshold", type=float, default=-1,
+                   help="Enhancement face-factor threshold; negative disables "
+                        "enhancement.")
+    p.add_argument("-b", "--batch-size", type=int, default=8,
+                   help="Images per processing batch.")
+    p.add_argument("-n", "--num-processes", type=int, default=1,
+                   help="Host worker threads overlapping I/O with device compute.")
+    p.add_argument("-d", "--device", type=str, default="auto",
+                   help="Compute device: 'auto', 'tpu', 'cpu', or 'tpu:N'.")
+    p.add_argument("-mf", "--max-faces", type=int, default=64,
+                   help="Static per-image face cap for strategy 'all'.")
+    p.add_argument("-w", "--weights-dir", type=str, default=None,
+                   help="Directory with converted model weights (.npz or the "
+                        "reference .pth files).")
+    return p
+
+
+def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
+    """Parses CLI args with JSON-config defaults merged underneath.
+
+    The config file (if given) updates parser defaults before the final
+    parse, so explicit flags always win — the reference's layering
+    (``__main__.py:47-98``).
+    """
+    argv = sys.argv[1:] if argv is None else list(argv)
+    parser = build_parser()
+
+    # Pre-scan for the config path only.
+    pre, _ = parser.parse_known_args(argv)
+    if pre.config:
+        with open(pre.config) as f:
+            defaults = json.load(f)
+        known = {a.dest for a in parser._actions}
+        parser.set_defaults(**{k: v for k, v in defaults.items() if k in known})
+
+    kwargs = vars(parser.parse_args(argv))
+    kwargs.pop("config", None)
+
+    if kwargs.get("input_dir") is None:
+        raise ValueError("Input directory must be specified.")
+
+    if kwargs["device"] == "auto":
+        import jax
+
+        platforms = {d.platform for d in jax.devices()}
+        kwargs["device"] = "tpu" if "tpu" in platforms else jax.devices()[0].platform
+
+    for key in ("det_threshold", "enh_threshold"):
+        if kwargs[key] is not None and kwargs[key] < 0:
+            kwargs[key] = None
+
+    return kwargs
+
+
+def main(argv: list[str] | None = None):
+    kwargs = parse_args(argv)
+
+    input_dir = kwargs.pop("input_dir")
+    output_dir = kwargs.pop("output_dir")
+    needs_clean = kwargs.pop("clean_names")
+    is_inplace = kwargs.pop("clean_names_inplace")
+
+    if needs_clean or is_inplace:
+        cn_output_dir = None if is_inplace else input_dir + "_temp"
+        clean_names(input_dir=input_dir, output_dir=cn_output_dir)
+
+    if needs_clean and not is_inplace:
+        output_dir = input_dir + "_faces" if output_dir is None else output_dir
+        input_dir += "_temp"
+
+    cropper = Cropper(**kwargs)
+    cropper.process_dir(input_dir, output_dir)
+
+    if needs_clean and not is_inplace:
+        shutil.rmtree(input_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -133,6 +133,30 @@ class Cropper:
         self._device = _resolve_device(self.device)
         self._init_models()
         self._init_landmarks_target()
+        self._init_fused()
+
+    def _init_fused(self):
+        """Builds the fused single-dispatch detect→align→crop executor.
+
+        Used on the hot path when detection is active and no enhancement
+        interposes between detection and cropping (enhancement operates on
+        the interim images, so it forces the staged path).  Crops are then
+        sampled from the original-resolution images on device — one upload,
+        one program, one small download per batch.
+        """
+        self._fused = None
+        if self.det_model is not None and self.enh_model is None:
+            from .pipeline import FusedPipeline
+
+            self._fused = FusedPipeline(
+                det_model=self.det_model,
+                target_landmarks=self.landmarks_target,
+                output_size=self.output_size,
+                border_mode=self.padding,
+                allow_skew=self.allow_skew,
+                device=self._device,
+                mesh=self.mesh,
+            )
 
     # ------------------------------------------------------------------
     # Initialization
@@ -384,6 +408,19 @@ class Cropper:
         if len(images) == 0:
             return
         paddings = None
+
+        if self._fused is not None and len({im.shape for im in images}) == 1:
+            # Hot path: uniform decode shapes → one fused device program.
+            batch = np.stack(images)
+            crops, _lm, indices = self._fused.process(batch, self.resize_size)
+            if len(crops) == 0:
+                return
+            groups = (None, None)
+            if self.par_model is not None:
+                groups = self.par_model.predict(crops)
+            file_names = np.asarray(file_names)
+            self.save_groups(crops, file_names[indices], output_dir, *groups)
+            return
 
         if self.landmarks is None and self.det_model is None:
             indices, landmarks = list(range(len(file_names))), None

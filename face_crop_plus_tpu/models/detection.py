@@ -186,7 +186,11 @@ class RetinaFace:
             "retinaface", self._random_init, weights_dir
         )
         params = {k: jnp.asarray(v, jnp.float32) for k, v in data.items()}
-        if device is not None:
+        if mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
+        elif device is not None:
             params = jax.device_put(params, device)
         self.params = params
 
@@ -228,8 +232,20 @@ class RetinaFace:
         return self is other
 
     def detect_padded(self, images: np.ndarray):
-        """Device-side detection returning padded arrays (no compaction)."""
+        """Device-side detection returning padded arrays (no compaction).
+
+        With a mesh, the image batch is sharded along the batch axis
+        (padding to a mesh-size multiple at the host boundary) and params
+        are replicated; XLA partitions the whole program data-parallel.
+        """
         h, w = images.shape[1], images.shape[2]
+        if self.mesh is not None:
+            from ..parallel.mesh import pad_to_multiple, shard_batch
+
+            padded, valid_n = pad_to_multiple(np.asarray(images), self.mesh.size)
+            imgs = shard_batch(padded, self.mesh)
+            landms, valid = self._detect(self.params, imgs, h, w)
+            return np.asarray(landms)[:valid_n], np.asarray(valid)[:valid_n]
         imgs = jnp.asarray(images)
         if self.device is not None:
             imgs = jax.device_put(imgs, self.device)

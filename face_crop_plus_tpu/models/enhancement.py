@@ -124,9 +124,17 @@ class RRDBNet:
             compute_dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
         self.compute_dtype = compute_dtype
 
+        if mesh is not None:
+            # SR sub-batches must split evenly over the data axis.
+            self.enh_batch_size = -(-self.enh_batch_size // mesh.size) * mesh.size
+
         data, self.pretrained = load_or_init("rrdb", self._init_fn(), weights_dir)
         params = {k: jnp.asarray(v, jnp.float32) for k, v in data.items()}
-        if device is not None:
+        if mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
+        elif device is not None:
             params = jax.device_put(params, device)
         self.params = params
 
@@ -170,9 +178,14 @@ class RRDBNet:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], bs - valid, axis=0)], axis=0
                 )
-            imgs = jnp.asarray(chunk)
-            if self.device is not None:
-                imgs = jax.device_put(imgs, self.device)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                imgs = shard_batch(chunk, self.mesh)
+            else:
+                imgs = jnp.asarray(chunk)
+                if self.device is not None:
+                    imgs = jax.device_put(imgs, self.device)
             out[start : start + valid] = np.asarray(self._enhance(self.params, imgs))[:valid]
         return out
 

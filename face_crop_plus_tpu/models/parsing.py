@@ -186,9 +186,17 @@ class BiSeNet:
             compute_dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
         self.compute_dtype = compute_dtype
 
+        if mesh is not None:
+            # Sub-batches must split evenly over the data axis.
+            self.batch_size = -(-self.batch_size // mesh.size) * mesh.size
+
         data, self.pretrained = load_or_init("bisenet", self._random_init, weights_dir)
         params = {k: jnp.asarray(v, jnp.float32) for k, v in data.items()}
-        if device is not None:
+        if mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
+        elif device is not None:
             params = jax.device_put(params, device)
         self.params = params
 
@@ -234,9 +242,14 @@ class BiSeNet:
         for start in range(0, n, bs):
             chunk = images[start : start + bs]
             padded, valid = pad_batch_to(chunk, bs)
-            imgs = jnp.asarray(padded)
-            if self.device is not None:
-                imgs = jax.device_put(imgs, self.device)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                imgs = shard_batch(padded, self.mesh)
+            else:
+                imgs = jnp.asarray(padded)
+                if self.device is not None:
+                    imgs = jax.device_put(imgs, self.device)
             labels, counts = self._parse(self.params, imgs, h, w)
             labels_out[start : start + valid] = np.asarray(labels)[:valid]
             counts_out[start : start + valid] = np.asarray(counts)[:valid]

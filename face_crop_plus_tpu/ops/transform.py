@@ -16,9 +16,11 @@ pixel coordinates to destination coordinates, identical to OpenCV.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
+@jax.jit
 def estimate_similarity(src: jnp.ndarray, dst: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Least-squares 4-DOF similarity transform (rotation+scale+translation).
 
@@ -58,6 +60,7 @@ def estimate_similarity(src: jnp.ndarray, dst: jnp.ndarray) -> tuple[jnp.ndarray
     return jnp.stack([row0, row1], axis=-2), valid
 
 
+@jax.jit
 def estimate_affine(src: jnp.ndarray, dst: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Least-squares 6-DOF affine transform (allows skew).
 

@@ -114,9 +114,9 @@ def parse_landmarks_file(file_path: str, **kwargs) -> tuple[np.ndarray, np.ndarr
             kwargs.setdefault("delimiter", ",")
             kwargs.setdefault("skip_header", 1)
         filenames = np.genfromtxt(file_path, usecols=0, dtype=str, **kwargs)
-        landmarks = np.genfromtxt(file_path, dtype=np.float32, **kwargs)[:, 1:]
+        table = np.atleast_2d(np.genfromtxt(file_path, dtype=np.float32, **kwargs))
         filenames = np.atleast_1d(filenames)
-        landmarks = np.atleast_2d(landmarks)
+        landmarks = table[:, 1:]
 
     return landmarks.reshape(len(landmarks), -1, 2), filenames
 

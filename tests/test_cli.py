@@ -1,0 +1,97 @@
+"""Tests for the CLI: flag parsing, JSON-config merge, sentinels, main()."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from face_crop_plus_tpu.__main__ import main, parse_args
+from face_crop_plus_tpu.utils.io import imread_rgb, imwrite
+
+
+def test_requires_input_dir():
+    with pytest.raises(ValueError, match="Input directory"):
+        parse_args(["-d", "cpu"])
+
+
+def test_negative_thresholds_become_none():
+    kw = parse_args(["-i", "x", "-dt", "-1", "-et", "-1", "-d", "cpu"])
+    assert kw["det_threshold"] is None
+    assert kw["enh_threshold"] is None
+
+
+def test_defaults_match_reference():
+    kw = parse_args(["-i", "x", "-d", "cpu"])
+    assert kw["output_size"] == [256, 256]
+    assert kw["resize_size"] == [1024, 1024]
+    assert kw["face_factor"] == 0.65
+    assert kw["strategy"] == "largest"
+    assert kw["padding"] == "constant"
+    assert kw["det_threshold"] == 0.6
+    assert kw["enh_threshold"] is None  # default -1 -> disabled
+    assert kw["batch_size"] == 8
+    assert kw["num_processes"] == 1
+
+
+def test_config_file_merge_and_override(tmp_path):
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "input_dir": "from_cfg",
+        "face_factor": 0.75,
+        "strategy": "best",
+        "device": "cpu",
+    }))
+    kw = parse_args(["-c", str(cfg)])
+    assert kw["input_dir"] == "from_cfg"
+    assert kw["face_factor"] == 0.75
+    assert kw["strategy"] == "best"
+    # Explicit flags override the config file.
+    kw = parse_args(["-c", str(cfg), "-ff", "0.5", "-i", "cli_dir"])
+    assert kw["face_factor"] == 0.5
+    assert kw["input_dir"] == "cli_dir"
+
+
+def test_json_group_flags():
+    kw = parse_args(["-i", "x", "-d", "cpu", "-ag", '{"glasses": [6]}',
+                     "-mg", '{"eyes": [4, 5]}'])
+    assert kw["attr_groups"] == {"glasses": [6]}
+    assert kw["mask_groups"] == {"eyes": [4, 5]}
+
+
+def test_main_end_to_end(tmp_path, rng):
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    for i in range(2):
+        imwrite(str(imgs / f"a{i}.png"),
+                rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    lm = tmp_path / "lm.txt"
+    lines = []
+    for i in range(2):
+        coords = " ".join(str(float(v)) for v in
+                          (np.array([[20, 25], [40, 25], [30, 35], [22, 45], [38, 45]])
+                           + rng.normal(0, 1, (5, 2))).reshape(-1))
+        lines.append(f"a{i}.png {coords}")
+    lm.write_text("\n".join(lines))
+
+    out = tmp_path / "out"
+    main(["-i", str(imgs), "-o", str(out), "-l", str(lm),
+          "-dt", "-1", "-et", "-1", "-d", "cpu", "-s", "32"])
+    assert sorted(os.listdir(out)) == ["a0.png", "a1.png"]
+    assert imread_rgb(str(out / "a0.png")).shape == (32, 32, 3)
+
+
+def test_main_clean_names_temp_dir(tmp_path, rng):
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    # "a<b.png" cleans to "ab.png"; the landmarks file refers to the
+    # cleaned name (processing runs on the cleaned temp dir).
+    imwrite(str(imgs / "a<b.png"), rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    lm = tmp_path / "lm.txt"
+    lm.write_text("ab.png 20 25 40 25 30 35 22 45 38 45\n")
+
+    out = tmp_path / "out"
+    main(["-i", str(imgs), "-o", str(out), "-l", str(lm), "-cn",
+          "-dt", "-1", "-et", "-1", "-d", "cpu", "-s", "32"])
+    assert os.listdir(out) == ["ab.png"]
+    assert not os.path.exists(str(imgs) + "_temp")  # temp dir cleaned up
