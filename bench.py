@@ -77,31 +77,44 @@ def build_pipeline(device_str: str):
     return cropper, device
 
 
-def run_once(cropper, batch, paddings) -> int:
-    """One full detect+align+crop pass over a batch; returns face count."""
-    landmarks, indices = cropper.det_model.predict(batch)
-    if len(landmarks) == 0:
-        return 0
-    landmarks = landmarks - paddings[indices][:, None, [2, 0]]
-    crops = cropper.crop_align(batch, paddings, indices, landmarks)
-    return len(crops)
-
-
 def measure(device_str: str, n_images: int, reps: int) -> float:
+    """Times the fused detect+align+crop pipeline with batches in flight.
+
+    Matches production structure: per batch, one uint8 upload, one fused
+    XLA program, one uint8 crop download; JAX async dispatch keeps the next
+    batch's upload/compute overlapped with the previous one's download.
+    """
+    import jax
+    import jax.numpy as jnp
+
     cropper, device = build_pipeline(device_str)
-    batch, paddings = load_images(BATCH)
+    fused = cropper._fused
+    batch, _ = load_images(BATCH)
+    ih, iw = RESIZE[1], RESIZE[0]
+
+    def submit():
+        imgs = jax.device_put(batch, device)
+        return fused._run(fused.det.params, imgs, ih, iw)
 
     # Warmup / compile.
     t0 = time.perf_counter()
-    run_once(cropper, batch, paddings)
+    crops, _lm, valid = submit()
+    jax.block_until_ready(crops)
     log(f"[{device_str}] compile+first batch: {time.perf_counter() - t0:.1f}s")
 
-    n_batches = max(1, n_images // BATCH)
+    n_batches = max(1, n_images // BATCH) * reps
     faces = 0
+    inflight = []
     t0 = time.perf_counter()
-    for _ in range(reps):
-        for _ in range(n_batches):
-            faces += run_once(cropper, batch, paddings)
+    for _ in range(n_batches):
+        inflight.append(submit())
+        if len(inflight) >= 3:  # bounded pipeline depth
+            c, _l, v = inflight.pop(0)
+            faces += int(np.asarray(v).sum())
+            np.asarray(c)  # realize the crop download
+    for c, _l, v in inflight:
+        faces += int(np.asarray(v).sum())
+        np.asarray(c)
     dt = time.perf_counter() - t0
     fps = faces / dt
     log(f"[{device_str}] {faces} faces in {dt:.2f}s -> {fps:.2f} faces/s")

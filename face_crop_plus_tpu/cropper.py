@@ -35,6 +35,7 @@ from .utils.landmarks import (
     parse_landmarks_file,
     reduce_landmarks,
 )
+from .utils.profiling import PipelineStats
 
 
 def _resolve_device(device):
@@ -129,6 +130,10 @@ class Cropper:
 
         if isinstance(self.landmarks, str):
             self.landmarks = parse_landmarks_file(self.landmarks)
+
+        #: Per-stage wall-time accounting (read ``self.stats.report()`` after
+        #: a run; the reference offers no observability beyond progress bars).
+        self.stats = PipelineStats()
 
         self._device = _resolve_device(self.device)
         self._init_models()
@@ -404,7 +409,8 @@ class Cropper:
         landmark modes: no-op (neither landmarks nor detector), precomputed
         landmark lookup, or on-device detection.
         """
-        images, file_names = read_images(file_names, input_dir)
+        with self.stats.stage("read", len(file_names)):
+            images, file_names = read_images(file_names, input_dir)
         if len(images) == 0:
             return
         paddings = None
@@ -412,14 +418,17 @@ class Cropper:
         if self._fused is not None and len({im.shape for im in images}) == 1:
             # Hot path: uniform decode shapes → one fused device program.
             batch = np.stack(images)
-            crops, _lm, indices = self._fused.process(batch, self.resize_size)
+            with self.stats.stage("detect+crop", len(batch)):
+                crops, _lm, indices = self._fused.process(batch, self.resize_size)
             if len(crops) == 0:
                 return
             groups = (None, None)
             if self.par_model is not None:
-                groups = self.par_model.predict(crops)
+                with self.stats.stage("parse", len(crops)):
+                    groups = self.par_model.predict(crops)
             file_names = np.asarray(file_names)
-            self.save_groups(crops, file_names[indices], output_dir, *groups)
+            with self.stats.stage("save", len(crops)):
+                self.save_groups(crops, file_names[indices], output_dir, *groups)
             return
 
         if self.landmarks is None and self.det_model is None:
@@ -434,11 +443,12 @@ class Cropper:
                 indices_ldm.extend(matches.tolist())
             landmarks = self.landmarks[0][indices_ldm]
         else:
-            batch, _, paddings = as_batch(images, self.resize_size)
-            landmarks, indices = self.det_model.predict(batch)
-            if len(landmarks) > 0:
-                landmarks = landmarks - paddings[indices][:, None, [2, 0]]
-            images = batch
+            with self.stats.stage("detect", len(images)):
+                batch, _, paddings = as_batch(images, self.resize_size)
+                landmarks, indices = self.det_model.predict(batch)
+                if len(landmarks) > 0:
+                    landmarks = landmarks - paddings[indices][:, None, [2, 0]]
+                images = batch
 
         if landmarks is not None and len(landmarks) == 0:
             return
@@ -447,20 +457,26 @@ class Cropper:
             landmarks = reduce_landmarks(landmarks, self.num_std_landmarks)
 
         if self.enh_model is not None:
-            images = self.enh_model.predict(images, landmarks, indices)
+            with self.stats.stage("enhance", len(images)):
+                images = self.enh_model.predict(images, landmarks, indices)
 
         groups = (None, None)
 
         if landmarks is not None:
-            images = self.crop_align(images, paddings, indices, landmarks)
+            with self.stats.stage("crop", len(landmarks)):
+                images = self.crop_align(images, paddings, indices, landmarks)
 
         if self.par_model is not None:
             if isinstance(images, list):
                 images = np.stack(images)
-            groups = self.par_model.predict(images)
+            with self.stats.stage("parse", len(images)):
+                groups = self.par_model.predict(images)
 
         file_names = np.asarray(file_names)
-        self.save_groups(np.asarray(images), file_names[indices], output_dir, *groups)
+        with self.stats.stage("save", len(images)):
+            self.save_groups(
+                np.asarray(images), file_names[indices], output_dir, *groups
+            )
 
     def process_dir(
         self,
