@@ -409,8 +409,17 @@ class Cropper:
         landmark modes: no-op (neither landmarks nor detector), precomputed
         landmark lookup, or on-device detection.
         """
+        # In detection mode, oversized JPEGs may be decoded at reduced DCT
+        # scale (never below the detector's working resolution).  With
+        # precomputed landmarks the coordinates are in full-resolution space,
+        # so sources must decode at native size.
+        target_max = (
+            max(self.resize_size)
+            if (self.landmarks is None and self.det_model is not None)
+            else None
+        )
         with self.stats.stage("read", len(file_names)):
-            images, file_names = read_images(file_names, input_dir)
+            images, file_names = read_images(file_names, input_dir, target_max)
         if len(images) == 0:
             return
         paddings = None

@@ -65,6 +65,8 @@ def imwrite(path: str, image: np.ndarray) -> bool:
 def read_images(
     file_names: list[str],
     input_dir: str,
+    target_max: int | None = None,
+    n_threads: int = 8,
 ) -> tuple[list[np.ndarray], np.ndarray]:
     """Reads a batch of images from a directory.
 
@@ -72,14 +74,50 @@ def read_images(
     name array only contains names of images that decoded successfully
     (matches reference utils.py:228-271).
 
+    JPEG files are decoded by the native multithreaded decoder
+    (:mod:`face_crop_plus_tpu.utils.native_io`) when available; with
+    ``target_max`` set, oversized sources are decoded directly at 1/2–1/8
+    scale in the DCT domain — never below the pipeline's working resolution
+    — skipping most of the decode work and host→device bytes.  Non-JPEG
+    files and native-decode failures fall back to cv2/PIL.
+
     Returns:
         Tuple of a list of RGB uint8 (H, W, 3) arrays and the corresponding
         (N,) file name array.
     """
+    from . import native_io
+
+    paths = [os.path.join(input_dir, f) for f in file_names]
+    results: list[np.ndarray | None] = [None] * len(paths)
+
+    if native_io.available():
+        jpg_ids = [
+            i
+            for i, p in enumerate(paths)
+            if p.lower().endswith((".jpg", ".jpeg"))
+        ]
+        if jpg_ids:
+            if target_max:
+                # Group by DCT scale factor chosen from header dims.
+                by_denom: dict[int, list[int]] = {}
+                for i in jpg_ids:
+                    dims = native_io.jpeg_dims(paths[i])
+                    denom = (
+                        native_io.pick_scale_denom(dims, target_max) if dims else 1
+                    )
+                    by_denom.setdefault(denom, []).append(i)
+            else:
+                by_denom = {1: jpg_ids}
+            for denom, ids in by_denom.items():
+                decoded = native_io.decode_batch(
+                    [paths[i] for i in ids], scale_denom=denom, n_threads=n_threads
+                )
+                for i, img in zip(ids, decoded):
+                    results[i] = img
+
     images, kept = [], []
-    for i, file_name in enumerate(file_names):
-        path = os.path.join(input_dir, file_name)
-        image = imread_rgb(path)
+    for i, path in enumerate(paths):
+        image = results[i] if results[i] is not None else imread_rgb(path)
         if image is None:
             warnings.warn(f"Could not read the image {path}")
             continue

@@ -1,0 +1,169 @@
+"""ctypes bindings for the native batch image decoder (``native/fcpt_io``).
+
+The native library provides multithreaded libjpeg decoding with DCT-domain
+downscaling (1/2, 1/4, 1/8) — the host-side equivalent of the reference's
+reliance on OpenCV's C++ internals, specialized for this pipeline's access
+pattern.  Builds on demand with ``make`` (g++ + libjpeg) and degrades
+gracefully: when the toolchain or library is unavailable, callers fall back
+to cv2/PIL decoding transparently.
+
+Run ``python -m face_crop_plus_tpu.utils.native_io`` to (re)build and
+self-test the library.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SO_PATH = os.path.join(_NATIVE_DIR, "libfcpt_io.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_attempted = False
+
+
+def _try_build() -> bool:
+    global _build_attempted
+    if _build_attempted:
+        return os.path.isfile(_SO_PATH)
+    _build_attempted = True
+    if not os.path.isfile(os.path.join(_NATIVE_DIR, "fcpt_io.cpp")):
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "libfcpt_io.so"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        return False
+    return os.path.isfile(_SO_PATH)
+
+
+def load_library():
+    """Loads (building if needed) the native library; None when unavailable."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.isfile(_SO_PATH) and not _try_build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+        lib.fcpt_decode_jpeg.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        lib.fcpt_decode_jpeg.restype = ctypes.c_int
+        lib.fcpt_jpeg_dims.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.fcpt_jpeg_dims.restype = ctypes.c_int
+        lib.fcpt_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
+        lib.fcpt_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.fcpt_decode_batch.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def decode_jpeg(path: str, scale_denom: int = 1) -> np.ndarray | None:
+    """Decodes one JPEG to an RGB uint8 array (None on failure)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    buf = ctypes.POINTER(ctypes.c_ubyte)()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.fcpt_decode_jpeg(
+        path.encode(), ctypes.byref(buf), ctypes.byref(h), ctypes.byref(w), scale_denom
+    )
+    if rc != 0:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(buf, shape=(h.value, w.value, 3)).copy()
+    finally:
+        lib.fcpt_free(buf)
+    return arr
+
+
+def jpeg_dims(path: str) -> tuple[int, int] | None:
+    """Full-resolution (height, width) from the JPEG header only."""
+    lib = load_library()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.fcpt_jpeg_dims(path.encode(), ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    return h.value, w.value
+
+
+def decode_batch(
+    paths: list[str], scale_denom: int = 1, n_threads: int = 8
+) -> list[np.ndarray | None]:
+    """Decodes many JPEGs in parallel native threads (None per failure)."""
+    lib = load_library()
+    if lib is None:
+        return [None] * len(paths)
+    n = len(paths)
+    if n == 0:
+        return []
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    outs = (ctypes.POINTER(ctypes.c_ubyte) * n)()
+    hs = (ctypes.c_int * n)()
+    ws = (ctypes.c_int * n)()
+    oks = (ctypes.c_int * n)()
+    lib.fcpt_decode_batch(c_paths, n, outs, hs, ws, oks, scale_denom, n_threads)
+    results: list[np.ndarray | None] = []
+    for i in range(n):
+        if oks[i] == 0 and outs[i]:
+            arr = np.ctypeslib.as_array(outs[i], shape=(hs[i], ws[i], 3)).copy()
+            lib.fcpt_free(outs[i])
+            results.append(arr)
+        else:
+            results.append(None)
+    return results
+
+
+def pick_scale_denom(src_hw: tuple[int, int], target_max: int) -> int:
+    """Largest DCT downscale that keeps max(dim) >= the pipeline target."""
+    m = max(src_hw)
+    for d in (8, 4, 2):
+        if m // d >= target_max:
+            return d
+    return 1
+
+
+if __name__ == "__main__":  # build + self-test
+    ok = available()
+    print(f"native io available: {ok} ({_SO_PATH})")
