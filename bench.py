@@ -1,12 +1,16 @@
-"""Headline benchmark: faces cropped/sec/chip (detect + align + crop).
+"""Headline benchmark: faces cropped/sec/chip, end-to-end process_dir.
 
-Measures the end-to-end device pipeline (RetinaFace detection at the interim
-resize size -> batched similarity transform -> batched warp crop) on
-pre-decoded in-memory images, which is BASELINE.json config 2's compute path.
-The denominator (``vs_baseline``) is the same pipeline measured on the host
-CPU backend (the reference is a CPU/GPU torch+cv2 pipeline with no published
-numbers — BASELINE.md mandates a measured denominator); the CPU number is
-cached in ``.bench_cpu.json`` so repeat runs only measure the accelerator.
+Measures the real user-facing pipeline (BASELINE.json configs 2/5): a
+CelebA-style directory of JPEG files is processed end to end — native JPEG
+decode → fused device program (resize+pad → RetinaFace detection at 1024² →
+NMS/strategy → similarity fit → warp crop) → JPEG encode — and throughput is
+faces/sec wall-clock.  Uniform small sources exercise the upload-optimal
+path: raw pixels go up at source resolution and are brought to detector
+resolution on device.
+
+``vs_baseline`` is the same pipeline measured on the host CPU backend (the
+reference publishes no numbers — BASELINE.md mandates a measured
+denominator); the CPU figure is cached in ``.bench_cpu.json``.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "faces/sec/chip", "vs_baseline": N}
@@ -14,50 +18,66 @@ Prints ONE JSON line:
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-RESIZE = (1024, 1024)
+RESIZE = (1024, 1024)   # detector resolution (reference default)
 OUTPUT = (256, 256)
-BATCH = 8
+BATCH = 16
+SRC_HW = (218, 178)     # CelebA-style source size
 CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu.json")
 DEMO_DIR = "/root/reference/demo/input_images"
+CACHE_KEY = [RESIZE, OUTPUT, BATCH, SRC_HW, 2]
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def load_images(n: int) -> np.ndarray:
-    """n pre-decoded, batch-normalized 1024x1024 uint8 images."""
-    from face_crop_plus_tpu.utils.batching import as_batch
-    from face_crop_plus_tpu.utils.io import imread_rgb
+def make_dataset(n: int) -> str:
+    """Creates a temp directory with n CelebA-sized JPEGs."""
+    from face_crop_plus_tpu.utils.io import imread_rgb, imwrite
 
-    raw = []
+    try:
+        import cv2
+
+        def resize(img):
+            return cv2.resize(img, (SRC_HW[1], SRC_HW[0]), interpolation=cv2.INTER_AREA)
+
+    except Exception:  # pragma: no cover
+        from PIL import Image
+
+        def resize(img):
+            return np.asarray(
+                Image.fromarray(img).resize((SRC_HW[1], SRC_HW[0]), Image.BOX)
+            )
+
+    base = []
     if os.path.isdir(DEMO_DIR):
         for f in sorted(os.listdir(DEMO_DIR)):
             img = imread_rgb(os.path.join(DEMO_DIR, f))
             if img is not None:
-                raw.append(img)
-    if not raw:
+                base.append(resize(img))
+    if not base:
         rng = np.random.default_rng(0)
-        raw = [rng.integers(0, 255, (720, 960, 3), dtype=np.uint8) for _ in range(8)]
-    images = [raw[i % len(raw)] for i in range(n)]
-    batch, _, paddings = as_batch(images, RESIZE)
-    return batch, paddings
+        base = [rng.integers(0, 255, SRC_HW + (3,), dtype=np.uint8) for _ in range(8)]
+
+    d = tempfile.mkdtemp(prefix="fcpt_bench_")
+    for i in range(n):
+        imwrite(os.path.join(d, f"{i:06d}.jpg"), base[i % len(base)])
+    return d
 
 
-def build_pipeline(device_str: str):
-    import jax
-
-    from face_crop_plus_tpu.cropper import Cropper, _resolve_device
-
-    device = _resolve_device(device_str)
+def build_cropper(device_str: str):
     import warnings
+
+    from face_crop_plus_tpu import Cropper
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -68,56 +88,36 @@ def build_pipeline(device_str: str):
             det_threshold=0.6,
             enh_threshold=None,
             batch_size=BATCH,
+            num_processes=2,
             device=device_str,
         )
-    # With random weights no real score clears 0.6; vis=-1 keeps exactly one
-    # face per image (strategy largest), which is the realistic per-image
-    # workload for CelebA-style data.
+    # Random weights leave no score above 0.6; vis=-1 keeps exactly one face
+    # per image (strategy largest) — the realistic CelebA per-image workload.
     cropper.det_model.vis_threshold = -1.0
-    return cropper, device
+    return cropper
 
 
-def measure(device_str: str, n_images: int, reps: int) -> float:
-    """Times the fused detect+align+crop pipeline with batches in flight.
+def measure(device_str: str, n_images: int) -> float:
+    cropper = build_cropper(device_str)
 
-    Matches production structure: per batch, one uint8 upload, one fused
-    XLA program, one uint8 crop download; JAX async dispatch keeps the next
-    batch's upload/compute overlapped with the previous one's download.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    cropper, device = build_pipeline(device_str)
-    fused = cropper._fused
-    batch, _ = load_images(BATCH)
-    ih, iw = RESIZE[1], RESIZE[0]
-
-    def submit():
-        imgs = jax.device_put(batch, device)
-        return fused._run(fused.det.params, imgs, ih, iw)
-
-    # Warmup / compile.
+    warm_dir = make_dataset(BATCH)
+    out_warm = warm_dir + "_out"
     t0 = time.perf_counter()
-    crops, _lm, valid = submit()
-    jax.block_until_ready(crops)
-    log(f"[{device_str}] compile+first batch: {time.perf_counter() - t0:.1f}s")
+    cropper.process_dir(warm_dir, out_warm, desc=None)
+    log(f"[{device_str}] compile+warmup batch: {time.perf_counter() - t0:.1f}s")
 
-    n_batches = max(1, n_images // BATCH) * reps
-    faces = 0
-    inflight = []
+    data_dir = make_dataset(n_images)
+    out_dir = data_dir + "_out"
     t0 = time.perf_counter()
-    for _ in range(n_batches):
-        inflight.append(submit())
-        if len(inflight) >= 3:  # bounded pipeline depth
-            c, _l, v = inflight.pop(0)
-            faces += int(np.asarray(v).sum())
-            np.asarray(c)  # realize the crop download
-    for c, _l, v in inflight:
-        faces += int(np.asarray(v).sum())
-        np.asarray(c)
+    cropper.process_dir(data_dir, out_dir, desc=None)
     dt = time.perf_counter() - t0
+    faces = len(os.listdir(out_dir))
     fps = faces / dt
-    log(f"[{device_str}] {faces} faces in {dt:.2f}s -> {fps:.2f} faces/s")
+    log(f"[{device_str}] {faces} faces in {dt:.2f}s -> {fps:.2f} faces/s (e2e)")
+    log(cropper.stats.report())
+
+    for d in (warm_dir, out_warm, data_dir, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
     return fps
 
 
@@ -125,13 +125,13 @@ def cpu_baseline() -> float:
     if os.path.isfile(CPU_CACHE):
         with open(CPU_CACHE) as f:
             cached = json.load(f)
-        if cached.get("config") == [RESIZE, OUTPUT, BATCH]:
+        if cached.get("config") == CACHE_KEY:
             log(f"[cpu] cached baseline: {cached['fps']:.3f} faces/s")
             return cached["fps"]
-    fps = measure("cpu", n_images=8, reps=1)
+    fps = measure("cpu", n_images=16)
     try:
         with open(CPU_CACHE, "w") as f:
-            json.dump({"config": [RESIZE, OUTPUT, BATCH], "fps": fps}, f)
+            json.dump({"config": CACHE_KEY, "fps": fps}, f)
     except OSError:
         pass
     return fps
@@ -145,16 +145,16 @@ def main():
     log(f"devices: {jax.devices()}")
 
     if accel == "cpu":
-        value = measure("cpu", n_images=16, reps=2)
+        value = measure("cpu", n_images=32)
         base = value
     else:
-        value = measure(accel, n_images=64, reps=4)
+        value = measure(accel, n_images=512)
         base = cpu_baseline()
 
     print(
         json.dumps(
             {
-                "metric": "faces cropped/sec/chip (detect+align+crop, 1024px)",
+                "metric": "faces cropped/sec/chip (e2e decode+detect@1024+align+crop+encode)",
                 "value": round(value, 2),
                 "unit": "faces/sec/chip",
                 "vs_baseline": round(value / base, 2) if base else None,

@@ -492,6 +492,8 @@ class Cropper:
         input_dir: str,
         output_dir: str | None = None,
         desc: str | None = "Processing",
+        shard_index: int | None = None,
+        num_shards: int | None = None,
     ):
         """Processes a whole directory in file batches.
 
@@ -500,11 +502,19 @@ class Cropper:
         decode/encode of neighboring batches overlaps with it — the same
         concurrency model as the reference (cropper.py:900-909) minus the
         per-worker model re-initialization (JAX params are shared read-only).
+
+        Multi-host scaling: the workload is embarrassingly parallel over
+        files, so each host processes its own strided shard of the file
+        list — pass ``shard_index=jax.process_index()`` and
+        ``num_shards=jax.process_count()`` (outputs are distinct files, no
+        coordination needed).
         """
         if output_dir is None:
             output_dir = input_dir + "_faces"
 
         files, bs = sorted(os.listdir(input_dir)), self.batch_size
+        if num_shards is not None and num_shards > 1:
+            files = files[(shard_index or 0) :: num_shards]
         file_batches = [files[i : i + bs] for i in range(0, len(files), bs)]
         if len(file_batches) == 0:
             return

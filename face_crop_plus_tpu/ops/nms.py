@@ -78,7 +78,14 @@ def greedy_nms_mask(
 
 @partial(
     jax.jit,
-    static_argnames=("vis_threshold", "nms_threshold", "pre_topk", "max_faces", "strategy"),
+    static_argnames=(
+        "vis_threshold",
+        "nms_threshold",
+        "pre_topk",
+        "max_faces",
+        "strategy",
+        "use_pallas",
+    ),
 )
 def select_faces(
     scores: jnp.ndarray,
@@ -89,6 +96,7 @@ def select_faces(
     pre_topk: int = 256,
     max_faces: int = 64,
     strategy: str = "all",
+    use_pallas: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Thresholds, NMS-filters and strategy-selects faces for a whole batch.
 
@@ -116,7 +124,12 @@ def select_faces(
     b = jnp.take_along_axis(boxes, top_i[..., None], axis=1)  # (N, K, 4)
     lm = jnp.take_along_axis(landms, top_i[..., None], axis=1)  # (N, K, 10)
 
-    keep = greedy_nms_mask(iou_matrix_plus1(b), valid, nms_threshold)
+    if use_pallas:
+        from .pallas.nms_kernel import greedy_nms_mask_pallas
+
+        keep = greedy_nms_mask_pallas(b, valid, nms_threshold)
+    else:
+        keep = greedy_nms_mask(iou_matrix_plus1(b), valid, nms_threshold)
 
     if strategy == "best":
         # First kept candidate per image == highest score (argmax finds the
