@@ -88,7 +88,7 @@ def build_cropper(device_str: str):
             det_threshold=0.6,
             enh_threshold=None,
             batch_size=BATCH,
-            num_processes=2,
+            num_processes=4 if device_str != "cpu" else 2,
             device=device_str,
         )
     # Random weights leave no score above 0.6; vis=-1 keeps exactly one face

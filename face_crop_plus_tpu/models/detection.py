@@ -177,10 +177,14 @@ class RetinaFace:
         self.device = device
         self.mesh = mesh
 
+        platform = (
+            mesh.devices.flat[0] if mesh is not None else (device or jax.devices()[0])
+        ).platform
         if compute_dtype is None:
-            platform = (device or jax.devices()[0]).platform
             compute_dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
         self.compute_dtype = compute_dtype
+        #: Pallas greedy-NMS kernel (VMEM-resident IoU); TPU only.
+        self.use_pallas = platform == "tpu"
 
         data, self.pretrained = load_or_init(
             "retinaface", self._random_init, weights_dir
@@ -223,6 +227,7 @@ class RetinaFace:
             pre_topk=self.pre_topk,
             max_faces=self.max_faces,
             strategy=self.strategy,
+            use_pallas=self.use_pallas,
         )
 
     def __hash__(self):  # static jit arg

@@ -50,10 +50,13 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, iou_ref, *, threshold: float):
     col = lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
     def body(i, carry):
-        alive = keep_ref[0, 0, i]  # scalar: candidate i survived so far
-        row = iou_ref[i, :][None, :]
+        keep = keep_ref[0, 0, :][None, :]  # (1, K)
+        # Scalar "is candidate i still alive" via mask-reduce (avoids
+        # dynamic lane indexing, which Mosaic does not support).
+        alive = jnp.sum(jnp.where(col == i, keep, 0.0))
+        row = iou_ref[pl.ds(i, 1), :]  # (1, K) dynamic sublane slice
         suppress = (row > threshold) & (col > i) & (alive > 0.0)
-        keep_ref[0, 0, :] = jnp.where(suppress[0], 0.0, keep_ref[0, 0, :])
+        keep_ref[0, 0, :] = jnp.where(suppress, 0.0, keep)[0, :]
         return carry
 
     lax.fori_loop(0, k, body, 0)

@@ -138,6 +138,7 @@ class FusedPipeline:
             pre_topk=self.det.pre_topk,
             max_faces=self.det.max_faces,
             strategy=self.det.strategy,
+            use_pallas=getattr(self.det, "use_pallas", False),
         )  # sel: (N, K, 10), valid: (N, K)
 
         k = sel.shape[1]
@@ -183,6 +184,13 @@ class FusedPipeline:
                 imgs = jax.device_put(imgs, self.device)
 
         crops, face_lm, valid = self._run(self.det.params, imgs, ih, iw)
+        for arr in (crops, face_lm, valid):
+            # Start device→host copies eagerly so they overlap with other
+            # in-flight batches (np.asarray below then completes them).
+            try:
+                arr.copy_to_host_async()
+            except (AttributeError, RuntimeError):  # pragma: no cover
+                pass
 
         k = valid.shape[0] // imgs.shape[0]
         crops = np.asarray(crops)[: valid_n * k]
