@@ -1,4 +1,4 @@
-from .batching import as_batch, bucket_size, pad_batch_to
+from .batching import as_batch, as_device, as_numpy, bucket_size, pad_batch_to
 from .io import imread_rgb, imwrite, read_images
 from .landmarks import (
     STANDARD_LANDMARKS_5,
@@ -13,6 +13,8 @@ from .names import clean_names
 __all__ = [
     "STANDARD_LANDMARKS_5",
     "as_batch",
+    "as_device",
+    "as_numpy",
     "bucket_size",
     "clean_names",
     "get_landmark_slices_5",

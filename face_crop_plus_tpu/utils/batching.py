@@ -98,6 +98,45 @@ def as_batch(
     return np.stack(img_batch), np.stack(unscales), np.stack(paddings)
 
 
+def as_numpy(images) -> np.ndarray | list[np.ndarray]:
+    """Device/JAX image batch → host uint8 numpy (N, H, W, 3).
+
+    Counterpart of the reference's ``as_numpy`` (utils.py:170-196), adapted
+    to NHWC JAX arrays: passes through numpy inputs, converts device arrays
+    (or lists of them) to uint8 host arrays.
+    """
+    if isinstance(images, list):
+        if len(images) == 0 or isinstance(images[0], np.ndarray):
+            return images
+        return [np.asarray(x).astype(np.uint8) for x in images]
+    if isinstance(images, np.ndarray):
+        return images
+    return np.asarray(images).astype(np.uint8)
+
+
+def as_device(images, device=None):
+    """Host image batch → device array (float32 NHWC).
+
+    Counterpart of the reference's ``as_tensor`` (utils.py:198-226): numpy
+    (or ragged lists) become device-resident float32 arrays; already-device
+    inputs pass through.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def put(x):
+        arr = jnp.asarray(x, jnp.float32)
+        return jax.device_put(arr, device) if device is not None else arr
+
+    if isinstance(images, list):
+        if len(images) and not isinstance(images[0], np.ndarray):
+            return images
+        return [put(x) for x in images]
+    if isinstance(images, np.ndarray):
+        return put(images)
+    return images
+
+
 def pad_batch_to(batch: np.ndarray, n: int) -> tuple[np.ndarray, int]:
     """Pads the leading axis of a batch up to ``n`` by repeating the last row.
 
