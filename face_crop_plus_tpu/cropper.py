@@ -277,9 +277,17 @@ class Cropper:
             crops = crops[valid]
         return crops
 
+    @staticmethod
+    def _face_bucket(f: int) -> int:
+        """Face counts vary per batch (NMS output); warping at power-of-two
+        bucket sizes keeps the number of compiled warp programs logarithmic."""
+        b = 1
+        while b < f:
+            b *= 2
+        return b
+
     def _warp_uniform(self, images, padding, indices, matrices):
         """Warps faces out of a uniform (N, H, W, 3) batch."""
-        n = images.shape[0]
         if padding is not None:
             pad = np.asarray(padding, np.int64)
             h = images.shape[1] - pad[:, 0] - pad[:, 1]
@@ -288,15 +296,22 @@ class Cropper:
             windows = windows_all[indices].astype(np.int32)
         else:
             windows = None
+
+        f = len(indices)
+        fb = self._face_bucket(f)
+        mats = np.concatenate(
+            [matrices, np.tile(np.eye(2, 3, dtype=np.float32), (fb - f, 1, 1))]
+        ).astype(np.float32)
+        idx = np.concatenate([indices, np.zeros(fb - f, np.int64)]).astype(np.int32)
+        if windows is not None:
+            windows = np.concatenate(
+                [windows, np.tile(windows[-1:], (fb - f, 1))]
+            ).astype(np.int32)
+
         out = warp_affine_batch(
-            np.asarray(images),
-            matrices.astype(np.float32),
-            indices.astype(np.int32),
-            self.output_size,
-            self.padding,
-            windows,
+            np.asarray(images), mats, idx, self.output_size, self.padding, windows
         )
-        return np.asarray(to_uint8(out))
+        return np.asarray(to_uint8(out))[:f]
 
     def _warp_ragged(self, images, indices, matrices):
         """Warps faces from ragged images, grouped by identical source shape.
@@ -426,9 +441,18 @@ class Cropper:
 
         if self._fused is not None and len({im.shape for im in images}) == 1:
             # Hot path: uniform decode shapes → one fused device program.
+            # Pad partial batches to the configured size so trailing batches
+            # reuse the compiled program instead of triggering a recompile.
             batch = np.stack(images)
-            with self.stats.stage("detect+crop", len(batch)):
+            n_true = len(batch)
+            if n_true < self.batch_size:
+                from .utils.batching import pad_batch_to
+
+                batch, _ = pad_batch_to(batch, self.batch_size)
+            with self.stats.stage("detect+crop", n_true):
                 crops, _lm, indices = self._fused.process(batch, self.resize_size)
+                keep = indices < n_true
+                crops, indices = crops[keep], indices[keep]
             if len(crops) == 0:
                 return
             groups = (None, None)
@@ -454,7 +478,16 @@ class Cropper:
         else:
             with self.stats.stage("detect", len(images)):
                 batch, _, paddings = as_batch(images, self.resize_size)
-                landmarks, indices = self.det_model.predict(batch)
+                n_true = len(batch)
+                det_in = batch
+                if n_true < self.batch_size:
+                    from .utils.batching import pad_batch_to
+
+                    det_in, _ = pad_batch_to(batch, self.batch_size)
+                landmarks, indices = self.det_model.predict(det_in)
+                keep = [j for j, i in enumerate(indices) if i < n_true]
+                landmarks = landmarks[keep] if len(landmarks) else landmarks
+                indices = [indices[j] for j in keep]
                 if len(landmarks) > 0:
                     landmarks = landmarks - paddings[indices][:, None, [2, 0]]
                 images = batch
