@@ -33,7 +33,8 @@ BATCH = 16
 SRC_HW = (218, 178)     # CelebA-style source size
 CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu.json")
 DEMO_DIR = "/root/reference/demo/input_images"
-CACHE_KEY = [RESIZE, OUTPUT, BATCH, SRC_HW, 2]
+# json-normalized (tuples -> lists) so it compares equal after a round trip
+CACHE_KEY = json.loads(json.dumps([RESIZE, OUTPUT, BATCH, SRC_HW, 2]))
 
 
 def log(*args):
