@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 RESIZE = (1024, 1024)   # detector resolution (reference default)
 OUTPUT = (256, 256)
-BATCH = 16
+BATCH = int(os.environ.get("FCPT_BENCH_BATCH", "16"))
 SRC_HW = (218, 178)     # CelebA-style source size
 CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu.json")
 DEMO_DIR = "/root/reference/demo/input_images"

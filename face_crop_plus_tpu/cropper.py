@@ -56,9 +56,58 @@ class Cropper:
     """Face cropper: alignment/cropping, quality enhancement, parsing.
 
     Same capabilities and configuration surface as the reference ``Cropper``
-    (cropper.py:26-156): automatic face alignment and center-cropping from
-    predicted or provided landmarks, gated super-resolution enhancement, and
-    attribute/mask grouping of outputs.
+    (cropper.py:26-156), with the execution restructured for TPU.
+
+    Capabilities
+    ------------
+
+    1. **Face cropping** — faces are aligned and center-cropped from
+       5-point landmarks, either predicted by the RetinaFace detector or
+       supplied via a landmarks file/arrays (``landmarks=``; detection is
+       then skipped entirely).  ``face_factor`` controls how much of the
+       crop the face occupies; ``strategy`` picks which faces to extract
+       per image ("all"/"best"/"largest"); ``padding`` selects the border
+       mode for crop regions outside the source.
+    2. **Quality enhancement** — images whose mean face-area fraction is at
+       or below ``enh_threshold`` are super-resolved 4x (RRDBNet/BSRGAN)
+       and downscaled back, removing blur.  With no landmarks and no
+       detection, every image is enhanced.
+    3. **Face parsing** — crops are segmented into 19 face attributes
+       (BiSeNet) and grouped into attribute subdirectories
+       (``attr_groups={"glasses": [6], "no_accessories": [-6, -9, -15, -18]}``,
+       negative = must be absent, AND-joined) and/or mask groups
+       (``mask_groups={"eyes": [4, 5]}``) that additionally write binary
+       0/255 masks to ``<name>_mask`` directories.
+
+    Examples
+    --------
+
+    Automatic cropping with enhancement::
+
+        cropper = Cropper(face_factor=0.7, enh_threshold=0.01)
+        cropper.process_dir("path/to/images")
+
+    Very fast cropping with known landmarks (no models)::
+
+        cropper = Cropper(landmarks="landmarks.txt", num_processes=16,
+                          det_threshold=None, enh_threshold=None)
+        cropper.process_dir("path/to/images")
+
+    Grouping by attributes and generating masks::
+
+        cropper = Cropper(attr_groups={"glasses": [6]},
+                          mask_groups={"eyes": [4, 5]},
+                          output_format="png")
+        cropper.process_dir("path/to/images", "path/to/out")
+
+    Attributes
+    ----------
+
+    ``det_model`` / ``enh_model`` / ``par_model`` — the three lazily
+    constructed models (None when their feature is disabled);
+    ``landmarks_target`` — the face-factor-scaled 5-point template;
+    ``stats`` — per-stage wall-time accounting
+    (:class:`~face_crop_plus_tpu.utils.profiling.PipelineStats`).
 
     TPU-specific extras (all optional, sensible defaults):
 
