@@ -199,6 +199,12 @@ class Cropper:
         one program, one small download per batch.
         """
         self._fused = None
+        #: Source shapes granted a fused program (bounded: each distinct
+        #: shape compiles its own XLA program, so only the first
+        #: ``max_fused_shapes`` frequent shapes get one; everything else
+        #: uses the classic staged path with host resizing).
+        self._fused_shapes: set = set()
+        self.max_fused_shapes = 4
         if self.det_model is not None and self.enh_model is None:
             from .pipeline import FusedPipeline
 
@@ -211,6 +217,20 @@ class Cropper:
                 device=self._device,
                 mesh=self.mesh,
             )
+
+    def _fused_eligible(self, shape, count: int) -> bool:
+        """Grants/uses a fused program for a source shape (bounded set)."""
+        if self._fused is None:
+            return False
+        if shape in self._fused_shapes:
+            return True
+        if (
+            len(self._fused_shapes) < self.max_fused_shapes
+            and count >= max(2, self.batch_size // 2)
+        ):
+            self._fused_shapes.add(shape)
+            return True
+        return False
 
     # ------------------------------------------------------------------
     # Initialization
@@ -463,6 +483,45 @@ class Cropper:
     # Per-batch pipeline
     # ------------------------------------------------------------------
 
+    def _detect_crop_staged(self, images: list[np.ndarray]):
+        """Classic staged detect→align→crop for a ragged image list.
+
+        Host-resizes to the interim size (one compiled detector program for
+        any mix of shapes), detects, un-pads landmarks, estimates transforms
+        (dropping degenerate fits together with their indices) and warps.
+
+        Returns:
+            Tuple of uint8 crops (F, Ho, Wo, 3) and int64 local image
+            indices (F,).
+        """
+        empty = (np.zeros((0,) + self.output_size[::-1] + (3,), np.uint8),
+                 np.zeros((0,), np.int64))
+        with self.stats.stage("detect", len(images)):
+            batch, _, paddings = as_batch(images, self.resize_size)
+            n_true = len(batch)
+            det_in = batch
+            if n_true < self.batch_size:
+                from .utils.batching import pad_batch_to
+
+                det_in, _ = pad_batch_to(batch, self.batch_size)
+            landmarks, indices = self.det_model.predict(det_in)
+            keep = [j for j, i in enumerate(indices) if i < n_true]
+            if not keep:
+                return empty
+            landmarks = landmarks[keep]
+            indices = np.asarray([indices[j] for j in keep], np.int64)
+            landmarks = landmarks - paddings[indices][:, None, [2, 0]]
+
+        with self.stats.stage("crop", len(landmarks)):
+            matrices, valid = self._estimate(landmarks.astype(np.float32))
+            pos = np.nonzero(np.asarray(valid))[0]
+            if len(pos) == 0:
+                return empty
+            crops = self._warp_uniform(
+                batch, paddings, indices[pos], np.asarray(matrices)[pos]
+            )
+        return crops, indices[pos]
+
     def process_batch(
         self, file_names: list[str], input_dir: str, output_dir: str
     ):
@@ -488,30 +547,65 @@ class Cropper:
             return
         paddings = None
 
-        if self._fused is not None and len({im.shape for im in images}) == 1:
-            # Hot path: uniform decode shapes → one fused device program.
-            # Pad partial batches to the configured size so trailing batches
-            # reuse the compiled program instead of triggering a recompile.
-            batch = np.stack(images)
-            n_true = len(batch)
-            if n_true < self.batch_size:
+        if self._fused is not None:
+            # Hot path: group images by decoded shape; shapes in the bounded
+            # fused-shape set run the single-dispatch device program
+            # (sampling crops from original-resolution pixels), the rest go
+            # through the staged path with host resizing.  Each program is
+            # compiled once per (shape, batch_size) thanks to batch padding.
+            by_shape: dict[tuple, list[int]] = defaultdict(list)
+            for i, im in enumerate(images):
+                by_shape[im.shape].append(i)
+
+            fused_groups = []
+            classic_ids: list[int] = []
+            for shape, ids in by_shape.items():
+                if self._fused_eligible(shape, len(ids)):
+                    fused_groups.append(ids)
+                else:
+                    classic_ids.extend(ids)
+
+            if fused_groups:
+                crops_parts, idx_parts = [], []
                 from .utils.batching import pad_batch_to
 
-                batch, _ = pad_batch_to(batch, self.batch_size)
-            with self.stats.stage("detect+crop", n_true):
-                crops, _lm, indices = self._fused.process(batch, self.resize_size)
-                keep = indices < n_true
-                crops, indices = crops[keep], indices[keep]
-            if len(crops) == 0:
+                for ids in fused_groups:
+                    batch = np.stack([images[i] for i in ids])
+                    n_true = len(batch)
+                    if n_true < self.batch_size:
+                        batch, _ = pad_batch_to(batch, self.batch_size)
+                    with self.stats.stage("detect+crop", n_true):
+                        crops, _lm, loc = self._fused.process(
+                            batch, self.resize_size
+                        )
+                        keep = loc < n_true
+                        crops, loc = crops[keep], loc[keep]
+                    if len(crops):
+                        crops_parts.append(crops)
+                        idx_parts.append(np.asarray(ids)[loc])
+
+                if classic_ids:
+                    sub = [images[i] for i in classic_ids]
+                    crops2, loc2 = self._detect_crop_staged(sub)
+                    if len(crops2):
+                        crops_parts.append(crops2)
+                        idx_parts.append(np.asarray(classic_ids)[loc2])
+
+                if not crops_parts:
+                    return
+                crops = np.concatenate(crops_parts)
+                indices = np.concatenate(idx_parts)
+
+                groups = (None, None)
+                if self.par_model is not None:
+                    with self.stats.stage("parse", len(crops)):
+                        groups = self.par_model.predict(crops)
+                file_names = np.asarray(file_names)
+                with self.stats.stage("save", len(crops)):
+                    self.save_groups(
+                        crops, file_names[indices], output_dir, *groups
+                    )
                 return
-            groups = (None, None)
-            if self.par_model is not None:
-                with self.stats.stage("parse", len(crops)):
-                    groups = self.par_model.predict(crops)
-            file_names = np.asarray(file_names)
-            with self.stats.stage("save", len(crops)):
-                self.save_groups(crops, file_names[indices], output_dir, *groups)
-            return
 
         if self.landmarks is None and self.det_model is None:
             indices, landmarks = list(range(len(file_names))), None
