@@ -569,16 +569,33 @@ class Cropper:
                 crops_parts, idx_parts = [], []
                 from .utils.batching import pad_batch_to
 
+                # Pure single-group fused batches hand crops to the parser
+                # as a device array (no host→device re-upload).
+                device_handoff = (
+                    self.par_model is not None
+                    and self.mesh is None
+                    and len(fused_groups) == 1
+                    and not classic_ids
+                )
+                dev_crops = None
+
                 for ids in fused_groups:
                     batch = np.stack([images[i] for i in ids])
                     n_true = len(batch)
                     if n_true < self.batch_size:
                         batch, _ = pad_batch_to(batch, self.batch_size)
                     with self.stats.stage("detect+crop", n_true):
-                        crops, _lm, loc = self._fused.process(
-                            batch, self.resize_size
+                        result = self._fused.process(
+                            batch,
+                            self.resize_size,
+                            return_device_crops=device_handoff,
                         )
+                        crops, _lm, loc = result[:3]
+                        if device_handoff:
+                            dev_crops = result[3]
                         keep = loc < n_true
+                        if device_handoff and not keep.all():
+                            dev_crops = None  # padding rows got faces; rare
                         crops, loc = crops[keep], loc[keep]
                     if len(crops):
                         crops_parts.append(crops)
@@ -599,7 +616,12 @@ class Cropper:
                 groups = (None, None)
                 if self.par_model is not None:
                     with self.stats.stage("parse", len(crops)):
-                        groups = self.par_model.predict(crops)
+                        if dev_crops is not None:
+                            groups = self.par_model.predict(
+                                dev_crops, valid_n=len(crops)
+                            )
+                        else:
+                            groups = self.par_model.predict(crops)
                 file_names = np.asarray(file_names)
                 with self.stats.stage("save", len(crops)):
                     self.save_groups(

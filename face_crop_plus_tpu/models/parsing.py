@@ -230,26 +230,37 @@ class BiSeNet:
         counts = onehot.sum(axis=(1, 2))  # (B, 19)
         return labels, counts
 
-    def parse_batch(self, images: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def parse_batch(self, images) -> tuple[np.ndarray, np.ndarray]:
         """Runs parsing for all faces in fixed-size sub-batches.
+
+        ``images`` may be a host uint8 array or a *device* array (e.g. crops
+        handed over from the fused pipeline, skipping the re-upload).
 
         Returns host arrays: uint8 labels (N, H, W) and int32 counts (N, 19).
         """
+        on_device = isinstance(images, jnp.ndarray)
         n, h, w = images.shape[0], images.shape[1], images.shape[2]
         labels_out = np.empty((n, h, w), np.uint8)
         counts_out = np.empty((n, NUM_CLASSES), np.int32)
         bs = self.batch_size
         for start in range(0, n, bs):
             chunk = images[start : start + bs]
-            padded, valid = pad_batch_to(chunk, bs)
-            if self.mesh is not None:
-                from ..parallel.mesh import shard_batch
-
-                imgs = shard_batch(padded, self.mesh)
+            if on_device:
+                valid = chunk.shape[0]
+                if valid < bs:
+                    reps = jnp.repeat(chunk[-1:], bs - valid, axis=0)
+                    chunk = jnp.concatenate([chunk, reps], axis=0)
+                imgs = chunk
             else:
-                imgs = jnp.asarray(padded)
-                if self.device is not None:
-                    imgs = jax.device_put(imgs, self.device)
+                padded, valid = pad_batch_to(chunk, bs)
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_batch
+
+                    imgs = shard_batch(padded, self.mesh)
+                else:
+                    imgs = jnp.asarray(padded)
+                    if self.device is not None:
+                        imgs = jax.device_put(imgs, self.device)
             labels, counts = self._parse(self.params, imgs, h, w)
             labels_out[start : start + valid] = np.asarray(labels)[:valid]
             counts_out[start : start + valid] = np.asarray(counts)[:valid]
@@ -296,28 +307,46 @@ class BiSeNet:
             groups[name] = (inds, masks)
         return groups
 
-    def predict(self, images: np.ndarray):
+    def predict(self, images, valid_n: int | None = None):
         """Predicts attribute and mask groups for a uint8 face batch.
 
         Returns the reference's contract (bise.py:327-418): a tuple of
         ``attr_groups`` (name → face indices, empty groups dropped) and
         ``mask_groups`` (name → (face indices, stacked uint8 masks), empty
         groups dropped); either is None when not configured.
+
+        Args:
+            images: Host uint8 array, list of arrays, or a device array
+                (parsed without a host round trip).
+            valid_n: When the batch carries padding rows at the end (device
+                handoff from the fused pipeline), only faces with index
+                < ``valid_n`` are considered for groups.
         """
         if isinstance(images, list):
             images = np.stack(images)
-        images = np.asarray(images, np.uint8)
+        if not isinstance(images, jnp.ndarray):
+            images = np.asarray(images, np.uint8)
 
         labels, counts = self.parse_batch(images)
 
         attr_groups = None
         if self.attr_groups is not None:
             attr_groups = self.group_by_attributes(counts)
+            if valid_n is not None:
+                attr_groups = {
+                    k: [i for i in v if i < valid_n] for k, v in attr_groups.items()
+                }
             attr_groups = {k: v for k, v in attr_groups.items() if len(v) > 0}
 
         mask_groups = None
         if self.mask_groups is not None:
             mask_groups = self.group_by_masks(labels, counts)
+            if valid_n is not None:
+                filtered = {}
+                for k, (inds, masks) in mask_groups.items():
+                    sel = [j for j, i in enumerate(inds) if i < valid_n]
+                    filtered[k] = ([inds[j] for j in sel], masks[sel])
+                mask_groups = filtered
             mask_groups = {k: v for k, v in mask_groups.items() if len(v[0]) > 0}
 
         return attr_groups, mask_groups

@@ -159,16 +159,27 @@ class FusedPipeline:
         valid = valid.reshape(n * k) & ok
         return crops, face_lm, valid
 
-    def process(self, images: np.ndarray, interim_size: tuple[int, int]):
+    def process(
+        self,
+        images: np.ndarray,
+        interim_size: tuple[int, int],
+        return_device_crops: bool = False,
+    ):
         """Runs the fused step; returns host (crops, landmarks, indices).
 
         Args:
             images: Uniform uint8 (N, H, W, 3) batch (original resolution).
             interim_size: Detector (width, height).
+            return_device_crops: Additionally return the compacted crops as
+                a device array (padded to a power-of-two face bucket) so a
+                downstream device consumer (the parser) can skip the
+                host→device re-upload.
 
         Returns:
             Compacted uint8 crops (F, Ho, Wo, 3), float32 landmarks
-            (F, 5, 2) in source coordinates, and face→image indices (F,).
+            (F, 5, 2) in source coordinates, and face→image indices (F,);
+            with ``return_device_crops`` a 4th element: the device crop
+            array of bucketed length F' >= F (rows beyond F are padding).
         """
         n = images.shape[0]
         iw, ih = interim_size
@@ -183,8 +194,8 @@ class FusedPipeline:
             if self.device is not None:
                 imgs = jax.device_put(imgs, self.device)
 
-        crops, face_lm, valid = self._run(self.det.params, imgs, ih, iw)
-        for arr in (crops, face_lm, valid):
+        dev_crops, face_lm, valid = self._run(self.det.params, imgs, ih, iw)
+        for arr in (dev_crops, face_lm, valid):
             # Start device→host copies eagerly so they overlap with other
             # in-flight batches (np.asarray below then completes them).
             try:
@@ -193,10 +204,26 @@ class FusedPipeline:
                 pass
 
         k = valid.shape[0] // imgs.shape[0]
-        crops = np.asarray(crops)[: valid_n * k]
+        crops = np.asarray(dev_crops)[: valid_n * k]
         face_lm = np.asarray(face_lm)[: valid_n * k]
         valid = np.asarray(valid)[: valid_n * k]
 
         keep = np.nonzero(valid)[0]
         indices = (keep // k).astype(np.int64)
-        return crops[keep], face_lm[keep], indices
+
+        if not return_device_crops:
+            return crops[keep], face_lm[keep], indices
+
+        # Compact the crops on device into a power-of-two face bucket so the
+        # parser consumes them without a host round trip (rows beyond
+        # len(keep) repeat the last valid face and are dropped by callers).
+        f = max(len(keep), 1)
+        bucket = 1
+        while bucket < f:
+            bucket *= 2
+        sel = np.zeros(bucket, np.int64)
+        sel[: len(keep)] = keep
+        if len(keep):
+            sel[len(keep) :] = keep[-1]
+        dev_compact = jnp.take(dev_crops, jnp.asarray(sel), axis=0)
+        return crops[keep], face_lm[keep], indices, dev_compact
