@@ -109,7 +109,7 @@ def measure(device_str: str, n_images: int) -> float:
 
     data_dir = make_dataset(n_images)
     out_dir = data_dir + "_out"
-    passes = 2 if device_str != "cpu" else 1
+    passes = 3 if device_str != "cpu" else 1
     fps = 0.0
     for p in range(passes):
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -156,7 +156,7 @@ def main():
         value = measure("cpu", n_images=32)
         base = value
     else:
-        value = measure(accel, n_images=512)
+        value = measure(accel, n_images=256)
         base = cpu_baseline()
 
     print(
