@@ -75,7 +75,20 @@ def make_dataset(n: int) -> str:
     return d
 
 
-def build_cropper(device_str: str):
+MODE = os.environ.get("FCPT_BENCH_MODE", "detect")  # "detect" | "landmarks"
+
+
+def _write_landmarks(max_n: int) -> str:
+    """CelebA-style landmarks file covering the synthetic naming pattern."""
+    path = os.path.join(tempfile.gettempdir(), "fcpt_bench_landmarks.txt")
+    base = [69, 112, 108, 112, 88, 134, 72, 154, 104, 154]  # CelebA-ish
+    with open(path, "w") as f:
+        for i in range(max_n):
+            f.write(f"{i:06d}.jpg " + " ".join(str(v) for v in base) + "\n")
+    return path
+
+
+def build_cropper(device_str: str, landmarks: str | None = None):
     import warnings
 
     from face_crop_plus_tpu import Cropper
@@ -86,20 +99,25 @@ def build_cropper(device_str: str):
             output_size=OUTPUT,
             resize_size=RESIZE,
             strategy="largest",
-            det_threshold=0.6,
+            det_threshold=0.6 if landmarks is None else None,
             enh_threshold=None,
-            batch_size=BATCH,
+            landmarks=landmarks,
+            batch_size=BATCH if landmarks is None else 64,
             num_processes=4 if device_str != "cpu" else 2,
             device=device_str,
         )
-    # Random weights leave no score above 0.6; vis=-1 keeps exactly one face
-    # per image (strategy largest) — the realistic CelebA per-image workload.
-    cropper.det_model.vis_threshold = -1.0
+    if cropper.det_model is not None:
+        # Random weights leave no score above 0.6; vis=-1 keeps exactly one
+        # face per image (strategy largest) — the realistic CelebA workload.
+        cropper.det_model.vis_threshold = -1.0
     return cropper
 
 
 def measure(device_str: str, n_images: int) -> float:
-    cropper = build_cropper(device_str)
+    if MODE == "landmarks":
+        cropper = build_cropper(device_str, landmarks=_write_landmarks(n_images))
+    else:
+        cropper = build_cropper(device_str)
 
     warm_dir = make_dataset(BATCH)
     out_warm = warm_dir + "_out"
@@ -156,13 +174,19 @@ def main():
         value = measure("cpu", n_images=32)
         base = value
     else:
-        value = measure(accel, n_images=256)
-        base = cpu_baseline()
+        n = 1024 if MODE == "landmarks" else 256
+        value = measure(accel, n_images=n)
+        base = cpu_baseline() if MODE == "detect" else None
 
+    metric = (
+        "faces cropped/sec/chip (e2e decode+detect@1024+align+crop+encode)"
+        if MODE == "detect"
+        else "faces cropped/sec/chip (e2e, precomputed landmarks, no models)"
+    )
     print(
         json.dumps(
             {
-                "metric": "faces cropped/sec/chip (e2e decode+detect@1024+align+crop+encode)",
+                "metric": metric,
                 "value": round(value, 2),
                 "unit": "faces/sec/chip",
                 "vs_baseline": round(value / base, 2) if base else None,
