@@ -680,10 +680,12 @@ class Cropper:
                 groups = self.par_model.predict(images)
 
         file_names = np.asarray(file_names)
+        if not isinstance(images, list):
+            images = np.asarray(images)
+        # note: `images` may be a ragged list in the no-crop modes;
+        # save_groups indexes per item, so a list passes through unchanged.
         with self.stats.stage("save", len(images)):
-            self.save_groups(
-                np.asarray(images), file_names[indices], output_dir, *groups
-            )
+            self.save_groups(images, file_names[indices], output_dir, *groups)
 
     def process_dir(
         self,
