@@ -109,6 +109,9 @@ def select_faces(
         pre_topk: Static per-image candidate cap before NMS.
         max_faces: Static per-image output cap (only used for "all").
         strategy: "all" | "best" | "largest".
+        use_pallas: Run suppression with the VMEM-resident Pallas kernel
+            (:mod:`face_crop_plus_tpu.ops.pallas.nms_kernel`; TPU only,
+            validated exact on hardware) instead of the XLA fori_loop.
 
     Returns:
         Tuple of padded landmarks (N, F, 10) float32 and validity mask
