@@ -346,6 +346,33 @@ class Cropper:
             crops = crops[valid]
         return crops
 
+    def _align_crop_filtered(self, images, paddings, indices, landmarks):
+        """crop_align that also filters the indices of dropped faces.
+
+        The reference silently drops a face whose transform could not be
+        estimated but keeps its file-name index, misaligning the remaining
+        names (cropper.py:529-531 + :850).  Internal callers use this
+        variant, which drops crop and index together.
+
+        Returns:
+            Tuple of uint8 crops (F', Ho, Wo, 3) and int64 indices (F',).
+        """
+        indices = np.asarray(indices, np.int64)
+        matrices, valid = self._estimate(np.asarray(landmarks, np.float32))
+        pos = np.nonzero(np.asarray(valid))[0]
+        if len(pos) == 0:
+            return (
+                np.zeros((0,) + self.output_size[::-1] + (3,), np.uint8),
+                np.zeros((0,), np.int64),
+            )
+        indices = indices[pos]
+        matrices = np.asarray(matrices)[pos]
+        if isinstance(images, np.ndarray) and images.ndim == 4:
+            crops = self._warp_uniform(images, paddings, indices, matrices)
+        else:
+            crops = self._warp_ragged(images, indices, matrices)
+        return crops, indices
+
     @staticmethod
     def _face_bucket(f: int) -> int:
         """Face counts vary per batch (NMS output); warping at power-of-two
@@ -513,14 +540,7 @@ class Cropper:
             landmarks = landmarks - paddings[indices][:, None, [2, 0]]
 
         with self.stats.stage("crop", len(landmarks)):
-            matrices, valid = self._estimate(landmarks.astype(np.float32))
-            pos = np.nonzero(np.asarray(valid))[0]
-            if len(pos) == 0:
-                return empty
-            crops = self._warp_uniform(
-                batch, paddings, indices[pos], np.asarray(matrices)[pos]
-            )
-        return crops, indices[pos]
+            return self._align_crop_filtered(batch, paddings, indices, landmarks)
 
     def process_batch(
         self, file_names: list[str], input_dir: str, output_dir: str
@@ -671,7 +691,11 @@ class Cropper:
 
         if landmarks is not None:
             with self.stats.stage("crop", len(landmarks)):
-                images = self.crop_align(images, paddings, indices, landmarks)
+                images, indices = self._align_crop_filtered(
+                    images, paddings, indices, landmarks
+                )
+            if len(images) == 0:
+                return
 
         if self.par_model is not None:
             if isinstance(images, list):
