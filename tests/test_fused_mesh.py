@@ -1,0 +1,80 @@
+"""FusedPipeline over the virtual 8-device mesh (data-parallel hot path)."""
+
+import numpy as np
+import pytest
+import jax
+
+from face_crop_plus_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def test_fused_process_on_mesh(mesh, rng):
+    from face_crop_plus_tpu.models.detection import RetinaFace
+    from face_crop_plus_tpu.pipeline import FusedPipeline
+    from face_crop_plus_tpu.utils.landmarks import make_target_landmarks
+
+    with pytest.warns(UserWarning):
+        det = RetinaFace(strategy="best", vis=-1.0, pre_topk=32, mesh=mesh)
+    fused = FusedPipeline(
+        det_model=det,
+        target_landmarks=make_target_landmarks((32, 32), 0.65),
+        output_size=(32, 32),
+        border_mode="reflect_101",
+        mesh=mesh,
+    )
+    imgs = rng.integers(0, 255, (16, 64, 48, 3), dtype=np.uint8)
+    crops, lm, indices = fused.process(imgs, (96, 96))
+    assert crops.shape == (16, 32, 32, 3)
+    assert lm.shape == (16, 5, 2)
+    np.testing.assert_array_equal(indices, np.arange(16))
+
+
+def test_fused_process_on_mesh_nondivisible(mesh, rng):
+    from face_crop_plus_tpu.models.detection import RetinaFace
+    from face_crop_plus_tpu.pipeline import FusedPipeline
+    from face_crop_plus_tpu.utils.landmarks import make_target_landmarks
+
+    with pytest.warns(UserWarning):
+        det = RetinaFace(strategy="best", vis=-1.0, pre_topk=32, mesh=mesh)
+    fused = FusedPipeline(
+        det_model=det,
+        target_landmarks=make_target_landmarks((32, 32), 0.65),
+        output_size=(32, 32),
+        border_mode="constant",
+        mesh=mesh,
+    )
+    imgs = rng.integers(0, 255, (5, 64, 48, 3), dtype=np.uint8)  # 5 % 8 != 0
+    crops, _lm, indices = fused.process(imgs, (96, 96))
+    assert crops.shape[0] == 5
+    np.testing.assert_array_equal(indices, np.arange(5))
+
+
+def test_cropper_end_to_end_on_mesh(mesh, tmp_path, rng):
+    import os
+
+    from face_crop_plus_tpu import Cropper
+    from face_crop_plus_tpu.utils.io import imwrite
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(8):
+        imwrite(str(d / f"m{i}.png"), rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    out = str(tmp_path / "out")
+    with pytest.warns(UserWarning):
+        c = Cropper(
+            output_size=32,
+            resize_size=64,
+            strategy="best",
+            det_threshold=-1.0,
+            enh_threshold=None,
+            batch_size=8,
+            mesh=mesh,
+        )
+    c.process_dir(str(d), out, desc=None)
+    assert len(os.listdir(out)) == 8
