@@ -205,6 +205,11 @@ class Cropper:
         #: uses the classic staged path with host resizing).
         self._fused_shapes: set = set()
         self.max_fused_shapes = 4
+        if self.strategy == "all" and self.max_faces > 8:
+            # The fused program warps every padded face slot (N x max_faces
+            # crops per batch); with a large static cap the staged path —
+            # which compacts faces before warping — is the better tradeoff.
+            return
         if self.det_model is not None and self.enh_model is None:
             from .pipeline import FusedPipeline
 
