@@ -716,6 +716,71 @@ class Cropper:
         with self.stats.stage("save", len(images)):
             self.save_groups(images, file_names[indices], output_dir, *groups)
 
+    def process_images(
+        self, images: list[np.ndarray] | np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, tuple]:
+        """In-memory serving API: images → (crops, indices, groups).
+
+        Runs detect (or landmark-free pass-through) → optional enhancement →
+        align/crop → optional parsing, without touching the filesystem —
+        the building block for serving deployments (the reference only
+        offers the directory pipeline).
+
+        Args:
+            images: Uniform (N, H, W, 3) uint8 batch or list of RGB arrays.
+
+        Returns:
+            Tuple of uint8 crops (F, Ho, Wo, 3), int64 face→image indices
+            (F,), and the (attr_groups, mask_groups) pair (None elements
+            when grouping is not configured).
+        """
+        if isinstance(images, np.ndarray):
+            images = list(images)
+        if self.det_model is None:
+            raise ValueError(
+                "process_images requires an active detector "
+                "(det_threshold must be set and landmarks must be None)."
+            )
+
+        uniform = len({im.shape for im in images}) == 1
+        if (
+            self._fused is not None
+            and uniform
+            and self._fused_eligible(images[0].shape, len(images))
+        ):
+            batch = np.stack(images)
+            n_true = len(batch)
+            if n_true < self.batch_size:
+                from .utils.batching import pad_batch_to
+
+                batch, _ = pad_batch_to(batch, self.batch_size)
+            crops, _lm, indices = self._fused.process(batch, self.resize_size)
+            keep = indices < n_true
+            crops, indices = crops[keep], indices[keep]
+        else:
+            if self.enh_model is not None:
+                # Staged: detect first for the gate landmarks.
+                batch, _, paddings = as_batch(images, self.resize_size)
+                landmarks, idx_list = self.det_model.predict(batch)
+                if len(landmarks) == 0:
+                    return (
+                        np.zeros((0,) + self.output_size[::-1] + (3,), np.uint8),
+                        np.zeros((0,), np.int64),
+                        (None, None),
+                    )
+                landmarks = landmarks - paddings[idx_list][:, None, [2, 0]]
+                batch = self.enh_model.predict(batch, landmarks, idx_list)
+                crops, indices = self._align_crop_filtered(
+                    np.asarray(batch), paddings, idx_list, landmarks
+                )
+            else:
+                crops, indices = self._detect_crop_staged(images)
+
+        groups = (None, None)
+        if self.par_model is not None and len(crops):
+            groups = self.par_model.predict(crops)
+        return crops, indices, groups
+
     def process_dir(
         self,
         input_dir: str,

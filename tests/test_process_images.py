@@ -1,0 +1,71 @@
+"""In-memory serving API: process_images (no filesystem)."""
+
+import numpy as np
+import pytest
+
+from face_crop_plus_tpu import Cropper
+
+
+@pytest.fixture(scope="module")
+def cropper():
+    with pytest.warns(UserWarning):
+        return Cropper(
+            output_size=48,
+            resize_size=96,
+            strategy="best",
+            det_threshold=-1.0,
+            enh_threshold=None,
+            device="cpu",
+            batch_size=4,
+        )
+
+
+def test_uniform_batch(cropper, rng):
+    imgs = rng.integers(0, 255, (4, 80, 64, 3), dtype=np.uint8)
+    crops, indices, groups = cropper.process_images(imgs)
+    assert crops.shape == (4, 48, 48, 3)
+    np.testing.assert_array_equal(indices, np.arange(4))
+    assert groups == (None, None)
+
+
+def test_ragged_list(cropper, rng):
+    imgs = [
+        rng.integers(0, 255, (80, 64, 3), dtype=np.uint8),
+        rng.integers(0, 255, (60, 90, 3), dtype=np.uint8),
+    ]
+    crops, indices, _ = cropper.process_images(imgs)
+    assert crops.shape == (2, 48, 48, 3)
+    np.testing.assert_array_equal(np.sort(indices), [0, 1])
+
+
+def test_partial_batch_reuses_program(cropper, rng):
+    # Fewer images than batch_size must not change the output contract.
+    imgs = rng.integers(0, 255, (2, 80, 64, 3), dtype=np.uint8)
+    crops, indices, _ = cropper.process_images(imgs)
+    assert crops.shape[0] == 2
+    assert set(indices) <= {0, 1}
+
+
+def test_with_parsing(rng):
+    with pytest.warns(UserWarning):
+        c = Cropper(
+            output_size=32,
+            resize_size=64,
+            strategy="best",
+            det_threshold=-1.0,
+            enh_threshold=None,
+            attr_groups={"g": [1]},
+            device="cpu",
+            batch_size=4,
+        )
+    c.par_model.attr_threshold = -1
+    imgs = rng.integers(0, 255, (4, 64, 64, 3), dtype=np.uint8)
+    crops, indices, (attr, mask) = c.process_images(imgs)
+    assert attr is not None and attr["g"] == [0, 1, 2, 3]
+    assert mask is None
+
+
+def test_requires_detector(rng):
+    c = Cropper(det_threshold=None, enh_threshold=None, device="cpu")
+    with pytest.raises(ValueError, match="detector"):
+        c.process_images(rng.integers(0, 255, (1, 32, 32, 3), dtype=np.uint8))
