@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.nn import Params, conv2d, downscale4x_bicubic, leaky_relu, upsample2x_nearest
+from ..ops.s2d import depth_to_space, space_to_depth, transform_conv_params
 from .weights import load_or_init
 
 _NF = 64  # trunk width
@@ -41,25 +42,37 @@ _NUM_BLOCKS = 23
 _SLOPE = 0.2
 
 
-def _dense_block(p: Params, name: str, x: jnp.ndarray) -> jnp.ndarray:
-    """5-conv residual dense block with 0.2 residual scaling."""
-    x1 = leaky_relu(conv2d(p, f"{name}.conv1", x, _GC, bias=True), _SLOPE)
+def _dense_block(p: Params, name: str, x: jnp.ndarray, m: int = 1) -> jnp.ndarray:
+    """5-conv residual dense block with 0.2 residual scaling.
+
+    ``m`` is the channel-width multiplier: 1 for the plain trunk, 4 when the
+    block runs in space-to-depth form (s2d-transformed weights, same names).
+    """
+    x1 = leaky_relu(conv2d(p, f"{name}.conv1", x, _GC * m, bias=True), _SLOPE)
     c = jnp.concatenate([x, x1], axis=-1)
-    x2 = leaky_relu(conv2d(p, f"{name}.conv2", c, _GC, bias=True), _SLOPE)
+    x2 = leaky_relu(conv2d(p, f"{name}.conv2", c, _GC * m, bias=True), _SLOPE)
     c = jnp.concatenate([c, x2], axis=-1)
-    x3 = leaky_relu(conv2d(p, f"{name}.conv3", c, _GC, bias=True), _SLOPE)
+    x3 = leaky_relu(conv2d(p, f"{name}.conv3", c, _GC * m, bias=True), _SLOPE)
     c = jnp.concatenate([c, x3], axis=-1)
-    x4 = leaky_relu(conv2d(p, f"{name}.conv4", c, _GC, bias=True), _SLOPE)
+    x4 = leaky_relu(conv2d(p, f"{name}.conv4", c, _GC * m, bias=True), _SLOPE)
     c = jnp.concatenate([c, x4], axis=-1)
-    x5 = conv2d(p, f"{name}.conv5", c, _NF, bias=True)
+    x5 = conv2d(p, f"{name}.conv5", c, _NF * m, bias=True)
     return x5 * jnp.asarray(0.2, x.dtype) + x
 
 
-def _rrdb(p: Params, name: str, x: jnp.ndarray) -> jnp.ndarray:
-    out = _dense_block(p, f"{name}.RDB1", x)
-    out = _dense_block(p, f"{name}.RDB2", out)
-    out = _dense_block(p, f"{name}.RDB3", out)
+def _rrdb(p: Params, name: str, x: jnp.ndarray, m: int = 1) -> jnp.ndarray:
+    out = _dense_block(p, f"{name}.RDB1", x, m)
+    out = _dense_block(p, f"{name}.RDB2", out, m)
+    out = _dense_block(p, f"{name}.RDB3", out, m)
     return out * jnp.asarray(0.2, x.dtype) + x
+
+
+def _tail(p: Params, fea: jnp.ndarray) -> jnp.ndarray:
+    """Upsampling tail: x4 nearest-upsample conv stack (rrdb.py:64-81)."""
+    fea = leaky_relu(conv2d(p, "upconv1", upsample2x_nearest(fea), _NF, bias=True), _SLOPE)
+    fea = leaky_relu(conv2d(p, "upconv2", upsample2x_nearest(fea), _NF, bias=True), _SLOPE)
+    fea = leaky_relu(conv2d(p, "HRconv", fea, _NF, bias=True), _SLOPE)
+    return conv2d(p, "conv_last", fea, 3, bias=True)
 
 
 def rrdbnet_forward(p: Params, x: jnp.ndarray, num_blocks: int = _NUM_BLOCKS) -> jnp.ndarray:
@@ -69,11 +82,26 @@ def rrdbnet_forward(p: Params, x: jnp.ndarray, num_blocks: int = _NUM_BLOCKS) ->
     for i in range(num_blocks):
         t = _rrdb(p, f"RRDB_trunk.{i}", t)
     fea = fea0 + conv2d(p, "trunk_conv", t, _NF, bias=True)
+    return _tail(p, fea)
 
-    fea = leaky_relu(conv2d(p, "upconv1", upsample2x_nearest(fea), _NF, bias=True), _SLOPE)
-    fea = leaky_relu(conv2d(p, "upconv2", upsample2x_nearest(fea), _NF, bias=True), _SLOPE)
-    fea = leaky_relu(conv2d(p, "HRconv", fea, _NF, bias=True), _SLOPE)
-    return conv2d(p, "conv_last", fea, 3, bias=True)
+
+def rrdbnet_forward_s2d(
+    p: Params, p_s2d: Params, x: jnp.ndarray, num_blocks: int = _NUM_BLOCKS
+) -> jnp.ndarray:
+    """RRDBNet forward with the trunk in space-to-depth form (even H, W).
+
+    Mathematically identical to :func:`rrdbnet_forward` (see
+    ``ops/s2d.py``): the 23-block trunk — 345 channel-starved 3x3 convs —
+    runs at half spatial resolution with 4x channels so its conv outputs
+    fill the 128-wide MXU; ``p_s2d`` holds the transformed trunk weights
+    under the original names.
+    """
+    fea0 = conv2d(p, "conv_first", x, _NF, bias=True)
+    t = space_to_depth(fea0)
+    for i in range(num_blocks):
+        t = _rrdb(p_s2d, f"RRDB_trunk.{i}", t, m=4)
+    fea = fea0 + depth_to_space(conv2d(p_s2d, "trunk_conv", t, _NF * 4, bias=True))
+    return _tail(p, fea)
 
 
 def mean_face_factor(
@@ -112,12 +140,22 @@ class RRDBNet:
         mesh=None,
         compute_dtype=None,
         num_blocks: int = _NUM_BLOCKS,
+        use_s2d: bool | None = None,
     ):
         self.min_face_factor = float(min_face_factor)
         self.enh_batch_size = int(enh_batch_size)
         self.device = device
         self.mesh = mesh
         self.num_blocks = int(num_blocks)
+        if use_s2d is None:
+            # Measured on TPU v5e at 512² (23 blocks, bf16): the s2d trunk
+            # sustains ~4x the MXU FLOP/s of the plain trunk (60 vs 15 TF/s)
+            # but identical wall time — runtime is not bound by the conv
+            # output width (see ops/s2d.py). Off by default: it costs a
+            # one-time weight transform + longer compile for a wash.
+            use_s2d = False
+        self.use_s2d = bool(use_s2d)
+        self._params_s2d = None
 
         if compute_dtype is None:
             platform = (device or jax.devices()[0]).platform
@@ -167,8 +205,37 @@ class RRDBNet:
         lr = downscale4x_bicubic(hr)
         return jnp.clip(jnp.rint(jnp.clip(lr, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
 
+    @partial(jax.jit, static_argnames=("self",))
+    def _enhance_s2d(self, params: dict, params_s2d: dict, images: jnp.ndarray) -> jnp.ndarray:
+        """Same contract as :meth:`_enhance`, trunk in space-to-depth form."""
+        p, ps = Params(params), Params(params_s2d)
+        x = (images.astype(jnp.float32) / 255.0).astype(self.compute_dtype)
+        hr = rrdbnet_forward_s2d(p, ps, x, self.num_blocks).astype(jnp.float32)
+        lr = downscale4x_bicubic(hr)
+        return jnp.clip(jnp.rint(jnp.clip(lr, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
+
+    def _s2d_params(self) -> dict:
+        """Transformed trunk weights, built once on first even-shape batch."""
+        if self._params_s2d is None:
+            host = {
+                k: np.asarray(v)
+                for k, v in self.params.items()
+                if k.startswith(("RRDB_trunk.", "trunk_conv."))
+            }
+            data = transform_conv_params(host, ("RRDB_trunk.", "trunk_conv."))
+            params = {k: jnp.asarray(v, jnp.float32) for k, v in data.items()}
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_params
+
+                params = shard_params(params, self.mesh)
+            elif self.device is not None:
+                params = jax.device_put(params, self.device)
+            self._params_s2d = params
+        return self._params_s2d
+
     def enhance_images(self, images: np.ndarray) -> np.ndarray:
         """Enhances a uniform uint8 batch in fixed-size sub-batches."""
+        s2d = self.use_s2d and images.shape[1] % 2 == 0 and images.shape[2] % 2 == 0
         out = np.array(images, copy=True)
         bs = self.enh_batch_size
         for start in range(0, len(images), bs):
@@ -186,7 +253,11 @@ class RRDBNet:
                 imgs = jnp.asarray(chunk)
                 if self.device is not None:
                     imgs = jax.device_put(imgs, self.device)
-            out[start : start + valid] = np.asarray(self._enhance(self.params, imgs))[:valid]
+            if s2d:
+                res = self._enhance_s2d(self.params, self._s2d_params(), imgs)
+            else:
+                res = self._enhance(self.params, imgs)
+            out[start : start + valid] = np.asarray(res)[:valid]
         return out
 
     def predict(

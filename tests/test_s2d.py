@@ -1,0 +1,108 @@
+"""Space-to-depth trunk execution: exact-equivalence tests (ops/s2d.py).
+
+The transform claims *mathematical identity* with the plain trunk (not an
+approximation), so these tests check tight float32 agreement on CPU:
+layout round-trips, single-conv weight-transform equivalence (the core
+lemma), concat commutation, whole-forward equivalence, and the enhancer's
+gated fallbacks (odd shapes, use_s2d=False).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from face_crop_plus_tpu.models.enhancement import (
+    RRDBNet,
+    rrdbnet_forward,
+    rrdbnet_forward_s2d,
+)
+from face_crop_plus_tpu.ops.nn import Params, conv2d
+from face_crop_plus_tpu.ops.s2d import (
+    depth_to_space,
+    s2d_bias,
+    s2d_conv_weight,
+    space_to_depth,
+    transform_conv_params,
+)
+
+
+def test_s2d_roundtrip_and_layout():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 6, 8, 5)).astype(np.float32)
+    y = space_to_depth(jnp.asarray(x))
+    assert y.shape == (2, 3, 4, 20)
+    # Sub-minor layout: channel c*4 + (di*2+dj) holds pixel (2i+di, 2j+dj).
+    y_np = np.asarray(y)
+    for di in (0, 1):
+        for dj in (0, 1):
+            np.testing.assert_array_equal(
+                y_np[:, 1, 2, 3 * 4 + di * 2 + dj], x[:, 2 + di, 4 + dj, 3]
+            )
+    np.testing.assert_array_equal(np.asarray(depth_to_space(y)), x)
+
+
+def test_s2d_concat_commutes():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.normal(size=(1, 4, 4, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32))
+    lhs = space_to_depth(jnp.concatenate([a, b], axis=-1))
+    rhs = jnp.concatenate([space_to_depth(a), space_to_depth(b)], axis=-1)
+    np.testing.assert_array_equal(np.asarray(lhs), np.asarray(rhs))
+
+
+def test_s2d_single_conv_equivalence():
+    """Core lemma: s2d(conv(x, W)) == conv(s2d(x), W') incl. borders."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 8, 6, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 3, 5)).astype(np.float32)
+    b = rng.normal(size=(5,)).astype(np.float32)
+
+    p = Params({"c.weight": jnp.asarray(w), "c.bias": jnp.asarray(b)})
+    y = conv2d(p, "c", jnp.asarray(x), 5, bias=True)
+
+    p2 = Params(
+        {"c.weight": jnp.asarray(s2d_conv_weight(w)), "c.bias": jnp.asarray(s2d_bias(b))}
+    )
+    y2 = conv2d(p2, "c", space_to_depth(jnp.asarray(x)), 20, bias=True)
+    np.testing.assert_allclose(
+        np.asarray(space_to_depth(y)), np.asarray(y2), rtol=1e-5, atol=1e-5
+    )
+
+
+def _random_params(num_blocks: int) -> dict:
+    p = Params(rng=np.random.default_rng(3))
+    rrdbnet_forward(p, jnp.zeros((1, 8, 8, 3), jnp.float32), num_blocks)
+    return dict(p.data)
+
+
+def test_s2d_forward_equivalence():
+    params = _random_params(num_blocks=2)
+    s2d_params = transform_conv_params(
+        {k: np.asarray(v) for k, v in params.items()}, ("RRDB_trunk.", "trunk_conv.")
+    )
+    x = jnp.asarray(
+        np.random.default_rng(4).uniform(size=(2, 10, 14, 3)).astype(np.float32)
+    )
+    ref = rrdbnet_forward(Params(params), x, 2)
+    got = rrdbnet_forward_s2d(
+        Params(params), Params({k: jnp.asarray(v) for k, v in s2d_params.items()}), x, 2
+    )
+    assert got.shape == ref.shape == (2, 40, 56, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("hw", [(12, 16), (11, 16), (12, 15)])
+def test_enhancer_s2d_matches_plain(hw):
+    """End-to-end enhance: s2d path (or its odd-shape fallback) == plain."""
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 255, (3, *hw, 3), dtype=np.uint8)
+    plain = RRDBNet(num_blocks=2, enh_batch_size=2, use_s2d=False)
+    fast = RRDBNet(num_blocks=2, enh_batch_size=2, use_s2d=True)
+    a = plain.enhance_images(imgs)
+    b = fast.enhance_images(imgs)
+    # uint8 round-off: identical math up to accumulation order; allow 1 LSB
+    # on a tiny fraction of pixels.
+    diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
