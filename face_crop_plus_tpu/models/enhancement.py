@@ -15,8 +15,9 @@ TPU-first structure:
 * SR + bicubic x0.25 undo + clamp/round run as one fused jitted program per
   (batch, H, W) bucket.  The x0.25 undo is an exact 4-tap stride-4 filter
   (see :func:`face_crop_plus_tpu.ops.nn.downscale4x_bicubic`).
-* bfloat16 trunk compute; the trunk runs at input resolution and only the
-  tail runs at 4x, NHWC throughout.
+* bfloat16 trunk compute; the trunk runs at input resolution (or half
+  resolution with 4x channels when ``use_s2d=True`` — see ``ops/s2d.py``)
+  and only the tail runs at 4x, NHWC throughout.
 * ``jax.checkpoint`` is unnecessary (inference-only), but sub-batching
   (default 1 image at a time, like the reference) bounds activation memory:
   at 1024² the 4x tail alone holds ~0.4 GB in bf16.
@@ -140,20 +141,18 @@ class RRDBNet:
         mesh=None,
         compute_dtype=None,
         num_blocks: int = _NUM_BLOCKS,
-        use_s2d: bool | None = None,
+        # Off by default: measured on TPU v5e at 512² (23 blocks, bf16) the
+        # s2d trunk sustains ~4x the MXU FLOP/s of the plain trunk (60 vs 15
+        # TF/s) but identical wall time — runtime is not bound by the conv
+        # output width (see ops/s2d.py) — while costing a one-time weight
+        # transform and a longer compile.
+        use_s2d: bool = False,
     ):
         self.min_face_factor = float(min_face_factor)
         self.enh_batch_size = int(enh_batch_size)
         self.device = device
         self.mesh = mesh
         self.num_blocks = int(num_blocks)
-        if use_s2d is None:
-            # Measured on TPU v5e at 512² (23 blocks, bf16): the s2d trunk
-            # sustains ~4x the MXU FLOP/s of the plain trunk (60 vs 15 TF/s)
-            # but identical wall time — runtime is not bound by the conv
-            # output width (see ops/s2d.py). Off by default: it costs a
-            # one-time weight transform + longer compile for a wash.
-            use_s2d = False
         self.use_s2d = bool(use_s2d)
         self._params_s2d = None
 
@@ -192,38 +191,47 @@ class RRDBNet:
     def __eq__(self, other):
         return self is other
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _enhance(self, params: dict, images: jnp.ndarray) -> jnp.ndarray:
+    def _sr_uint8(self, forward, images: jnp.ndarray) -> jnp.ndarray:
         """uint8 (B, H, W, 3) → enhanced uint8 (B, H, W, 3), fully fused.
 
         SR at 4x then exact bicubic x0.25 back, clamp to [0,1], x255, round
         — reference rrdb.py:142-144.
         """
-        p = Params(params)
         x = (images.astype(jnp.float32) / 255.0).astype(self.compute_dtype)
-        hr = rrdbnet_forward(p, x, self.num_blocks).astype(jnp.float32)
+        hr = forward(x).astype(jnp.float32)
         lr = downscale4x_bicubic(hr)
         return jnp.clip(jnp.rint(jnp.clip(lr, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _enhance(self, params: dict, images: jnp.ndarray) -> jnp.ndarray:
+        p = Params(params)
+        return self._sr_uint8(lambda x: rrdbnet_forward(p, x, self.num_blocks), images)
 
     @partial(jax.jit, static_argnames=("self",))
     def _enhance_s2d(self, params: dict, params_s2d: dict, images: jnp.ndarray) -> jnp.ndarray:
         """Same contract as :meth:`_enhance`, trunk in space-to-depth form."""
         p, ps = Params(params), Params(params_s2d)
-        x = (images.astype(jnp.float32) / 255.0).astype(self.compute_dtype)
-        hr = rrdbnet_forward_s2d(p, ps, x, self.num_blocks).astype(jnp.float32)
-        lr = downscale4x_bicubic(hr)
-        return jnp.clip(jnp.rint(jnp.clip(lr, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
+        return self._sr_uint8(
+            lambda x: rrdbnet_forward_s2d(p, ps, x, self.num_blocks), images
+        )
 
     def _s2d_params(self) -> dict:
-        """Transformed trunk weights, built once on first even-shape batch."""
+        """Transformed trunk weights, built once on first even-shape batch.
+
+        Only the blocks the forward actually reads are transformed, and the
+        (16x-inflated, 75%-zeros) result is stored in ``compute_dtype`` —
+        ``conv2d`` casts weights to the activation dtype anyway, so bf16
+        storage on TPU is behavior-identical and halves the HBM footprint.
+        """
         if self._params_s2d is None:
+            keep = ("trunk_conv.",) + tuple(
+                f"RRDB_trunk.{i}." for i in range(self.num_blocks)
+            )
             host = {
-                k: np.asarray(v)
-                for k, v in self.params.items()
-                if k.startswith(("RRDB_trunk.", "trunk_conv."))
+                k: np.asarray(v) for k, v in self.params.items() if k.startswith(keep)
             }
-            data = transform_conv_params(host, ("RRDB_trunk.", "trunk_conv."))
-            params = {k: jnp.asarray(v, jnp.float32) for k, v in data.items()}
+            data = transform_conv_params(host)
+            params = {k: jnp.asarray(v, self.compute_dtype) for k, v in data.items()}
             if self.mesh is not None:
                 from ..parallel.mesh import shard_params
 

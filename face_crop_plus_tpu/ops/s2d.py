@@ -97,22 +97,20 @@ def s2d_bias(b: np.ndarray) -> np.ndarray:
     return np.repeat(b, 4)
 
 
-def transform_conv_params(params: dict, prefixes: tuple[str, ...]) -> dict:
-    """Returns s2d-transformed copies of every ``<prefix>*.weight``/``.bias``.
+def transform_conv_params(params: dict) -> dict:
+    """Returns s2d-transformed copies of every ``*.weight``/``*.bias`` entry.
 
-    Only 3x3 HWIO conv weights (and their biases) under the given name
-    prefixes are transformed; the result keeps the original key names so the
-    same apply function can run against either parameter dict.
+    The caller passes the (pre-filtered) 3x3-conv parameters of the stack to
+    transform; the result keeps the original key names so the same apply
+    function can run against either parameter dict.
     """
     out = {}
     for key, val in params.items():
-        if not key.startswith(prefixes):
-            continue
         arr = np.asarray(val)
         if key.endswith(".weight"):
             out[key] = s2d_conv_weight(arr)
         elif key.endswith(".bias"):
             out[key] = s2d_bias(arr)
-        else:  # pragma: no cover - trunk has only conv weight/bias params
-            raise ValueError(f"unexpected trunk parameter: {key}")
+        else:  # pragma: no cover - conv stacks have only weight/bias params
+            raise ValueError(f"unexpected conv-stack parameter: {key}")
     return out

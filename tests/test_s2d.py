@@ -79,7 +79,11 @@ def _random_params(num_blocks: int) -> dict:
 def test_s2d_forward_equivalence():
     params = _random_params(num_blocks=2)
     s2d_params = transform_conv_params(
-        {k: np.asarray(v) for k, v in params.items()}, ("RRDB_trunk.", "trunk_conv.")
+        {
+            k: np.asarray(v)
+            for k, v in params.items()
+            if k.startswith(("RRDB_trunk.", "trunk_conv."))
+        }
     )
     x = jnp.asarray(
         np.random.default_rng(4).uniform(size=(2, 10, 14, 3)).astype(np.float32)
