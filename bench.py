@@ -103,7 +103,11 @@ def build_cropper(device_str: str, landmarks: str | None = None):
             enh_threshold=None,
             landmarks=landmarks,
             batch_size=BATCH if landmarks is None else 64,
-            num_processes=4 if device_str != "cpu" else 2,
+            num_processes=(
+                int(os.environ.get("FCPT_BENCH_WORKERS", "4"))
+                if device_str != "cpu"
+                else 2
+            ),
             device=device_str,
         )
     if cropper.det_model is not None:
