@@ -20,6 +20,7 @@ while restructuring the execution for XLA:
 from __future__ import annotations
 
 import os
+import threading
 from collections import defaultdict
 from functools import partial
 from multiprocessing.pool import ThreadPool
@@ -204,6 +205,7 @@ class Cropper:
         #: ``max_fused_shapes`` frequent shapes get one; everything else
         #: uses the classic staged path with host resizing).
         self._fused_shapes: set = set()
+        self._fused_shapes_lock = threading.Lock()
         self.max_fused_shapes = 4
         if self.strategy == "all" and self.max_faces > 8:
             # The fused program warps every padded face slot (N x max_faces
@@ -224,17 +226,22 @@ class Cropper:
             )
 
     def _fused_eligible(self, shape, count: int) -> bool:
-        """Grants/uses a fused program for a source shape (bounded set)."""
+        """Grants/uses a fused program for a source shape (bounded set).
+
+        Locked: worker threads race on check-then-add, and an over-admitted
+        shape means an extra compiled program beyond ``max_fused_shapes``.
+        """
         if self._fused is None:
             return False
-        if shape in self._fused_shapes:
-            return True
-        if (
-            len(self._fused_shapes) < self.max_fused_shapes
-            and count >= max(2, self.batch_size // 2)
-        ):
-            self._fused_shapes.add(shape)
-            return True
+        with self._fused_shapes_lock:
+            if shape in self._fused_shapes:
+                return True
+            if (
+                len(self._fused_shapes) < self.max_fused_shapes
+                and count >= max(2, self.batch_size // 2)
+            ):
+                self._fused_shapes.add(shape)
+                return True
         return False
 
     # ------------------------------------------------------------------
@@ -334,22 +341,7 @@ class Cropper:
             (F', Ho, Wo, 3) uint8 crops. F' <= F: faces with degenerate
             transforms are dropped (reference behavior cropper.py:529-531).
         """
-        indices = np.asarray(indices, np.int64)
-        if len(indices) == 0:
-            return np.array([])
-
-        matrices, valid = self._estimate(np.asarray(landmarks_source, np.float32))
-        valid = np.asarray(valid)
-        matrices = np.asarray(matrices)
-
-        if isinstance(images, np.ndarray) and images.ndim == 4:
-            crops = self._warp_uniform(images, padding, indices, matrices)
-        else:
-            crops = self._warp_ragged(images, indices, matrices)
-
-        if not valid.all():
-            crops = crops[valid]
-        return crops
+        return self._align_crop_filtered(images, padding, indices, landmarks_source)[0]
 
     def _align_crop_filtered(self, images, paddings, indices, landmarks):
         """crop_align that also filters the indices of dropped faces.
@@ -435,14 +427,26 @@ class Cropper:
             local_idx = np.array(
                 [remap[int(indices[i])] for i in face_ids], np.int32
             )
+            # Pad the face dimension to a power-of-two bucket: NMS/match
+            # counts vary per batch, and warp_affine_batch compiles one
+            # program per concrete face count otherwise.
+            f = len(face_ids)
+            fb = self._face_bucket(f)
+            mats = np.concatenate(
+                [
+                    matrices[face_ids],
+                    np.tile(np.eye(2, 3, dtype=np.float32), (fb - f, 1, 1)),
+                ]
+            ).astype(np.float32)
+            local_idx = np.concatenate([local_idx, np.zeros(fb - f, np.int32)])
             out = warp_affine_batch(
                 stack,
-                matrices[face_ids].astype(np.float32),
-                local_idx,
+                mats,
+                local_idx.astype(np.int32),
                 self.output_size,
                 self.padding,
             )
-            crops[face_ids] = np.asarray(to_uint8(out))
+            crops[face_ids] = np.asarray(to_uint8(out))[:f]
         return crops
 
     # ------------------------------------------------------------------
@@ -704,6 +708,14 @@ class Cropper:
 
         if self.par_model is not None:
             if isinstance(images, list):
+                if len({im.shape for im in images}) > 1:
+                    # Same constraint as the reference (README.md:243): the
+                    # no-crop parse path batches the originals.
+                    raise ValueError(
+                        "Parsing without cropping requires all images to "
+                        "share dimensions; resize them or enable cropping "
+                        "(set det_threshold or provide landmarks)."
+                    )
                 images = np.stack(images)
             with self.stats.stage("parse", len(images)):
                 groups = self.par_model.predict(images)
@@ -761,7 +773,18 @@ class Cropper:
             if self.enh_model is not None:
                 # Staged: detect first for the gate landmarks.
                 batch, _, paddings = as_batch(images, self.resize_size)
-                landmarks, idx_list = self.det_model.predict(batch)
+                n_true = len(batch)
+                det_in = batch
+                if n_true < self.batch_size:
+                    # Pad to the configured batch size so serving requests of
+                    # varying N reuse one compiled detector program.
+                    from .utils.batching import pad_batch_to
+
+                    det_in, _ = pad_batch_to(batch, self.batch_size)
+                landmarks, idx_list = self.det_model.predict(det_in)
+                keep = [j for j, i in enumerate(idx_list) if i < n_true]
+                landmarks = landmarks[keep] if len(landmarks) else landmarks
+                idx_list = [idx_list[j] for j in keep]
                 if len(landmarks) == 0:
                     return (
                         np.zeros((0,) + self.output_size[::-1] + (3,), np.uint8),

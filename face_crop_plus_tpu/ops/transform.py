@@ -57,6 +57,10 @@ def estimate_similarity(src: jnp.ndarray, dst: jnp.ndarray) -> tuple[jnp.ndarray
 
     row0 = jnp.stack([a, -b, tx], axis=-1)
     row1 = jnp.stack([b, a, ty], axis=-1)
+    # det(R) = a² + b²: a vanishing rotation-scale (possible with adversarial
+    # noise even when the source spread is fine) is as unusable as coincident
+    # points — the warp would need to invert a singular transform.
+    valid = valid & (a * a + b * b > 1e-12)
     return jnp.stack([row0, row1], axis=-2), valid
 
 
@@ -119,6 +123,11 @@ def estimate_affine(src: jnp.ndarray, dst: jnp.ndarray) -> tuple[jnp.ndarray, jn
 
     t = dst_mean - jnp.einsum("...ij,...j->...i", a, src_mean)
     m = jnp.concatenate([a, t[..., None]], axis=-1)  # (..., 2, 3)
+    # The fitted linear part must itself be invertible (the warp inverts it);
+    # a well-spread source can still produce a singular A when the fit
+    # collapses a dimension.
+    det_a = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    valid = valid & (jnp.abs(det_a) > 1e-12)
     return m, valid
 
 
@@ -132,7 +141,11 @@ def invert_affine(m: jnp.ndarray) -> jnp.ndarray:
     a, b, tx = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
     c, d, ty = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
     det = a * d - b * c
-    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    # Sign-preserving epsilon: replacing a small *negative* det with +1e-12
+    # would flip the sign of every inverse coefficient (mirrored output).
+    det = jnp.where(
+        jnp.abs(det) < 1e-12, jnp.where(det < 0, -1e-12, 1e-12), det
+    )
     ia, ib = d / det, -b / det
     ic, id_ = -c / det, a / det
     itx = -(ia * tx + ib * ty)

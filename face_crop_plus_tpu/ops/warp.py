@@ -72,7 +72,10 @@ def _map_coord(s: jnp.ndarray, n: jnp.ndarray, mode: str) -> jnp.ndarray:
     if mode == "reflect_101":
         p = jnp.maximum(2.0 * (nf - 1.0), 1.0)
         sm = jnp.mod(s, p)
-        return jnp.where(sm > nf - 1.0, p - sm, sm)
+        # n == 1 collapses every coordinate to 0 (cv2 semantics); without
+        # this the mod-by-1 remap could land in (0, 1] and put bilinear
+        # weight on a pixel outside the 1-wide window.
+        return jnp.where(nf <= 1.0, 0.0, jnp.where(sm > nf - 1.0, p - sm, sm))
     raise ValueError(mode)
 
 

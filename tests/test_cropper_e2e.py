@@ -169,3 +169,20 @@ def test_empty_dir_is_noop(tmp_path):
     cropper = Cropper(det_threshold=None, enh_threshold=None, device="cpu")
     cropper.process_dir(str(empty), str(tmp_path / "out"), desc=None)
     assert not os.path.exists(str(tmp_path / "out"))
+
+
+def test_crop_align_empty_input_returns_typed_empty(rng):
+    """crop_align([]) must return (0, Ho, Wo, 3) uint8, not a 1-D float64
+    array — callers concatenate batch results."""
+    from face_crop_plus_tpu import Cropper
+
+    c = Cropper(
+        output_size=(48, 32),
+        det_threshold=None,
+        enh_threshold=None,
+        device="cpu",
+    )
+    imgs = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    crops = c.crop_align(imgs, None, [], np.zeros((0, 5, 2), np.float32))
+    assert crops.shape == (0, 32, 48, 3)
+    assert crops.dtype == np.uint8

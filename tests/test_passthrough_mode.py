@@ -30,3 +30,22 @@ def test_ragged_passthrough(tmp_path, rng):
         assert img.shape == s  # sizes preserved, content copied
         src = imread_rgb(os.path.join(d, f"r{i}.png"))
         np.testing.assert_array_equal(img, src)
+
+
+def test_ragged_parse_mode_raises_clear_error(tmp_path, rng):
+    """No-crop parse mode on mixed-size images: a clear ValueError, not a
+    cryptic np.stack failure (same constraint as the reference README)."""
+    import pytest
+
+    d = tmp_path / "in"
+    os.makedirs(d)
+    imwrite(str(d / "a.jpg"), rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+    imwrite(str(d / "b.jpg"), rng.integers(0, 255, (48, 40, 3), dtype=np.uint8))
+    c = Cropper(
+        det_threshold=None,
+        enh_threshold=None,
+        mask_groups={"nose": [10]},
+        device="cpu",
+    )
+    with pytest.raises(ValueError, match="share dimensions"):
+        c.process_dir(str(d), str(tmp_path / "out"), desc=None)

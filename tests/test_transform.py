@@ -115,3 +115,27 @@ def test_broadcast_target():
     m, valid = estimate_similarity(src, dst)
     assert m.shape == (7, 2, 3)
     assert valid.shape == (7,)
+
+
+def test_invert_affine_preserves_sign_of_tiny_negative_det():
+    # A near-singular transform with a small NEGATIVE determinant must not
+    # have its inverse sign-flipped by the epsilon guard (mirrored output).
+    m = np.array([[[1e-7, 0.0, 3.0], [0.0, -1e-7, 4.0]]], np.float32)
+    inv = np.asarray(invert_affine(m))
+    # det = -1e-14 -> guarded to -1e-12 (sign kept): ia = d/det = 1e5 > 0,
+    # id = a/det = -1e5 < 0 — with a +1e-12 guard both signs would flip.
+    assert inv[0, 0, 0] > 0 and inv[0, 1, 1] < 0
+
+
+def test_singular_fit_flagged_invalid():
+    # Source points well-spread, but a destination forcing a = b = 0 in the
+    # similarity fit (dst constant): the transform is not invertible and
+    # must be flagged invalid rather than warped into garbage.
+    src = np.array([[[0, 0], [100, 0], [100, 100], [0, 100], [50, 50]]], np.float32)
+    dst = np.full((1, 5, 2), 7.0, np.float32)
+    _, valid = estimate_similarity(src, dst)
+    assert not np.asarray(valid)[0]
+    # Affine: destination collapses onto a line -> det(A) = 0.
+    dst_line = np.stack([src[0, :, 0], np.zeros(5, np.float32)], axis=-1)[None]
+    _, valid_a = estimate_affine(src, dst_line)
+    assert not np.asarray(valid_a)[0]
