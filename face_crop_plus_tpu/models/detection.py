@@ -114,7 +114,7 @@ def retinaface_forward(p: Params, x: jnp.ndarray):
     return softmax(cls, axis=-1), loc, ldm
 
 
-def decode_detections(loc, ldm, priors, image_size):
+def decode_detections(loc, ldm, priors, image_size, variances=_VARIANCES):
     """Undoes the training-time center-offset encoding (f32).
 
     Args:
@@ -122,12 +122,14 @@ def decode_detections(loc, ldm, priors, image_size):
         ldm: (N, A, 10) landmark regressions.
         priors: (A, 4) normalized anchor grid (cx, cy, w, h).
         image_size: (H, W) static ints for pixel scaling.
+        variances: The (center, size) encoding variances (reference
+            retinaface.py uses [0.1, 0.2]).
 
     Returns:
         Corner-form pixel boxes (N, A, 4) and pixel landmarks (N, A, 10).
     """
     h, w = image_size
-    v0, v1 = _VARIANCES
+    v0, v1 = variances
     loc = loc.astype(jnp.float32)
     ldm = ldm.astype(jnp.float32)
     cxy, pwh = priors[:, :2], priors[:, 2:]
@@ -205,9 +207,40 @@ class RetinaFace:
         retinaface_forward(p, x)
         return {k: np.asarray(v) for k, v in p.data.items()}
 
-    @partial(jax.jit, static_argnames=("self", "height", "width"))
-    def _detect(self, params: dict, images: jnp.ndarray, height: int, width: int):
-        """images uint8 (N, H, W, 3) RGB → padded (landms, valid)."""
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "self",
+            "height",
+            "width",
+            "strategy",
+            "vis_threshold",
+            "nms_threshold",
+            "max_faces",
+            "pre_topk",
+            "variances",
+        ),
+    )
+    def _detect(
+        self,
+        params: dict,
+        images: jnp.ndarray,
+        height: int,
+        width: int,
+        strategy: str,
+        vis_threshold: float,
+        nms_threshold: float,
+        max_faces: int,
+        pre_topk: int,
+        variances: tuple,
+    ):
+        """images uint8 (N, H, W, 3) RGB → padded (landms, valid).
+
+        The documented-overridable knobs are explicit static arguments
+        rather than attributes read off ``self`` at trace time: jax's jit
+        fastpath keys static objects by identity, so a mutated attribute
+        would silently hit the executable compiled with the old value.
+        """
         p = Params(params)
         x = images.astype(jnp.float32)
         x = x[..., ::-1] - jnp.array(_BGR_MEAN, jnp.float32)  # RGB→BGR − mean
@@ -215,22 +248,35 @@ class RetinaFace:
 
         scores2, loc, ldm = retinaface_forward(p, x)
         priors = jnp.asarray(anchor_grid(height, width))
-        boxes, landms = decode_detections(loc, ldm, priors, (height, width))
+        boxes, landms = decode_detections(
+            loc, ldm, priors, (height, width), variances
+        )
         scores = scores2[..., 1].astype(jnp.float32)
 
         return select_faces(
             scores,
             boxes,
             landms,
-            vis_threshold=self.vis_threshold,
-            nms_threshold=self.nms_threshold,
-            pre_topk=self.pre_topk,
-            max_faces=self.max_faces,
-            strategy=self.strategy,
+            vis_threshold=vis_threshold,
+            nms_threshold=nms_threshold,
+            pre_topk=pre_topk,
+            max_faces=max_faces,
+            strategy=strategy,
             use_pallas=self.use_pallas,
         )
 
-    def __hash__(self):  # static jit arg
+    def _detect_args(self) -> dict:
+        """Current values of the overridable knobs, as static jit kwargs."""
+        return dict(
+            strategy=self.strategy,
+            vis_threshold=float(self.vis_threshold),
+            nms_threshold=float(self.nms_threshold),
+            max_faces=int(self.max_faces),
+            pre_topk=int(self.pre_topk),
+            variances=tuple(self.variance),
+        )
+
+    def __hash__(self):  # static jit arg (construction-time state only)
         return id(self)
 
     def __eq__(self, other):
@@ -249,12 +295,14 @@ class RetinaFace:
 
             padded, valid_n = pad_to_multiple(np.asarray(images), self.mesh.size)
             imgs = shard_batch(padded, self.mesh)
-            landms, valid = self._detect(self.params, imgs, h, w)
+            landms, valid = self._detect(
+                self.params, imgs, h, w, **self._detect_args()
+            )
             return np.asarray(landms)[:valid_n], np.asarray(valid)[:valid_n]
         imgs = jnp.asarray(images)
         if self.device is not None:
             imgs = jax.device_put(imgs, self.device)
-        return self._detect(self.params, imgs, h, w)
+        return self._detect(self.params, imgs, h, w, **self._detect_args())
 
     def predict(self, images: np.ndarray) -> tuple[np.ndarray, list[int]]:
         """Predicts landmark sets for a uint8 RGB (N, H, W, 3) image batch.

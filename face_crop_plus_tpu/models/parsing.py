@@ -182,7 +182,9 @@ class BiSeNet:
         self.mesh = mesh
 
         if compute_dtype is None:
-            platform = (device or jax.devices()[0]).platform
+            platform = (
+                mesh.devices.flat[0] if mesh is not None else (device or jax.devices()[0])
+            ).platform
             compute_dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
         self.compute_dtype = compute_dtype
 
@@ -212,14 +214,28 @@ class BiSeNet:
     def __eq__(self, other):
         return self is other
 
-    @partial(jax.jit, static_argnames=("self", "out_h", "out_w"))
-    def _parse(self, params: dict, images: jnp.ndarray, out_h: int, out_w: int):
-        """uint8 (B, H, W, 3) crops → (labels (B,out_h,out_w) u8, counts (B,19))."""
+    @partial(jax.jit, static_argnames=("self", "out_h", "out_w", "mean", "std"))
+    def _parse(
+        self,
+        params: dict,
+        images: jnp.ndarray,
+        out_h: int,
+        out_w: int,
+        mean: tuple,
+        std: tuple,
+    ):
+        """uint8 (B, H, W, 3) crops → (labels (B,out_h,out_w) u8, counts (B,19)).
+
+        ``mean``/``std`` are documented as overridable after construction,
+        so they are explicit static arguments: jit's fastpath keys static
+        objects by identity, and reading them off ``self`` at trace time
+        would silently keep using the values from the first compile.
+        """
         p = Params(params)
         x = images.astype(jnp.float32) / 255.0
         x = resize_bilinear(x, (_INFER_SIZE, _INFER_SIZE))
-        mean = jnp.array(self.mean, jnp.float32)
-        std = jnp.array(self.std, jnp.float32)
+        mean = jnp.array(mean, jnp.float32)
+        std = jnp.array(std, jnp.float32)
         x = ((x - mean) / std).astype(self.compute_dtype)
 
         logits = bisenet_forward(p, x)  # (B, 512, 512, 19) f32
@@ -250,6 +266,14 @@ class BiSeNet:
                 if valid < bs:
                     reps = jnp.repeat(chunk[-1:], bs - valid, axis=0)
                     chunk = jnp.concatenate([chunk, reps], axis=0)
+                if self.mesh is not None:
+                    # Device handoff under a mesh: re-place the sub-batch
+                    # with the data-parallel sharding (batch_size was
+                    # rounded to a mesh multiple in __init__), matching the
+                    # host-input path below.
+                    from ..parallel.mesh import shard_batch
+
+                    chunk = shard_batch(chunk, self.mesh)
                 imgs = chunk
             else:
                 padded, valid = pad_batch_to(chunk, bs)
@@ -261,7 +285,14 @@ class BiSeNet:
                     imgs = jnp.asarray(padded)
                     if self.device is not None:
                         imgs = jax.device_put(imgs, self.device)
-            labels, counts = self._parse(self.params, imgs, h, w)
+            labels, counts = self._parse(
+                self.params,
+                imgs,
+                h,
+                w,
+                tuple(float(v) for v in self.mean),
+                tuple(float(v) for v in self.std),
+            )
             labels_out[start : start + valid] = np.asarray(labels)[:valid]
             counts_out[start : start + valid] = np.asarray(counts)[:valid]
         return labels_out, counts_out

@@ -30,14 +30,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .models.detection import decode_detections, retinaface_forward
+from .models.detection import _BGR_MEAN, decode_detections, retinaface_forward
 from .ops.anchors import anchor_grid
 from .ops.nms import select_faces
 from .ops.nn import Params, resize_bilinear
 from .ops.transform import estimate_affine, estimate_similarity
 from .ops.warp import warp_affine_batch
-
-_BGR_MEAN = (104.0, 117.0, 123.0)
 
 
 def device_resize_pad(
@@ -102,9 +100,39 @@ class FusedPipeline:
     def __eq__(self, other):
         return self is other
 
-    @partial(jax.jit, static_argnames=("self", "interim_h", "interim_w"))
-    def _run(self, params: dict, images: jnp.ndarray, interim_h: int, interim_w: int):
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "self",
+            "interim_h",
+            "interim_w",
+            "strategy",
+            "vis_threshold",
+            "nms_threshold",
+            "max_faces",
+            "pre_topk",
+            "variances",
+        ),
+    )
+    def _run(
+        self,
+        params: dict,
+        images: jnp.ndarray,
+        interim_h: int,
+        interim_w: int,
+        strategy: str,
+        vis_threshold: float,
+        nms_threshold: float,
+        max_faces: int,
+        pre_topk: int,
+        variances: tuple,
+    ):
         """uint8 (N, H, W, 3) → (crops u8, landmarks f32, valid bool).
+
+        The detector's overridable knobs arrive as explicit static
+        arguments (not read off ``self.det`` at trace time) so that
+        post-construction overrides take effect — see
+        ``RetinaFace._detect`` for the jit-fastpath rationale.
 
         ``interim_*`` is the detector resolution; when it differs from the
         input shape, resize+pad happens on device.  Crop warping always
@@ -128,16 +156,18 @@ class FusedPipeline:
         x = x.astype(self.det.compute_dtype)
         scores2, loc, ldm = retinaface_forward(p, x)
         priors = jnp.asarray(anchor_grid(interim_h, interim_w))
-        boxes, landms = decode_detections(loc, ldm, priors, (interim_h, interim_w))
+        boxes, landms = decode_detections(
+            loc, ldm, priors, (interim_h, interim_w), variances
+        )
         sel, valid = select_faces(
             scores2[..., 1].astype(jnp.float32),
             boxes,
             landms,
-            vis_threshold=self.det.vis_threshold,
-            nms_threshold=self.det.nms_threshold,
-            pre_topk=self.det.pre_topk,
-            max_faces=self.det.max_faces,
-            strategy=self.det.strategy,
+            vis_threshold=vis_threshold,
+            nms_threshold=nms_threshold,
+            pre_topk=pre_topk,
+            max_faces=max_faces,
+            strategy=strategy,
             use_pallas=getattr(self.det, "use_pallas", False),
         )  # sel: (N, K, 10), valid: (N, K)
 
@@ -194,7 +224,9 @@ class FusedPipeline:
             if self.device is not None:
                 imgs = jax.device_put(imgs, self.device)
 
-        dev_crops, face_lm, valid = self._run(self.det.params, imgs, ih, iw)
+        dev_crops, face_lm, valid = self._run(
+            self.det.params, imgs, ih, iw, **self.det._detect_args()
+        )
         for arr in (dev_crops, face_lm, valid):
             # Start device→host copies eagerly so they overlap with other
             # in-flight batches (np.asarray below then completes them).

@@ -76,6 +76,10 @@ def as_batch(
 
     for image in images:
         (h, w), m = image.shape[:2], max(*image.shape[:2])
+        # The reference's heuristic verbatim (utils.py:320): CUBIC unless the
+        # longest image side exceeds the longest target side. For non-square
+        # targets this can pick CUBIC for a mild downscale — kept for output
+        # parity with the reference.
         upscale = m <= max(size)
 
         ratio_w, ratio_h = size[0] / w, size[1] / h
@@ -148,13 +152,20 @@ def pad_batch_to(batch: np.ndarray, n: int) -> tuple[np.ndarray, int]:
         return batch, valid
     if valid > n:
         raise ValueError(f"Batch of {valid} does not fit bucket {n}")
+    if valid == 0:
+        # Repeating an empty last row keeps the batch empty; pad with zeros
+        # so the contract (leading axis == n) holds for empty inputs too.
+        return np.zeros((n,) + batch.shape[1:], batch.dtype), 0
     reps = np.repeat(batch[-1:], n - valid, axis=0)
     return np.concatenate([batch, reps], axis=0), valid
 
 
 def bucket_size(n: int, buckets: tuple[int, ...]) -> int:
-    """Smallest bucket >= n (the largest bucket if none fits)."""
+    """Smallest bucket >= n; beyond the largest bucket, the next multiple of
+    it (so ``pad_batch_to(batch, bucket_size(len(batch), buckets))`` always
+    succeeds while the number of distinct shapes stays bounded)."""
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    top = buckets[-1]
+    return -(-n // top) * top

@@ -57,8 +57,13 @@ def imwrite(path: str, image: np.ndarray) -> bool:
             image = cv2.cvtColor(image, cv2.COLOR_RGB2BGR)
         return bool(cv2.imwrite(path, image))
     if _HAS_PIL:
-        Image.fromarray(image).save(path)
-        return True
+        try:
+            Image.fromarray(image).save(path)
+            return True
+        except Exception:
+            # cv2.imwrite signals failure via its return value; mirror that
+            # so callers keep their warn-and-skip semantics without cv2.
+            return False
     raise RuntimeError("No image encoding backend available (cv2 or PIL).")
 
 

@@ -72,4 +72,16 @@ def test_bucket_size():
     assert bucket_size(1, buckets) == 1
     assert bucket_size(3, buckets) == 4
     assert bucket_size(8, buckets) == 8
-    assert bucket_size(9, buckets) == 8  # clamped to the largest bucket
+    # Beyond the largest bucket: next multiple of it, so the
+    # bucket_size→pad_batch_to pairing never raises.
+    assert bucket_size(9, buckets) == 16
+    assert bucket_size(17, buckets) == 24
+    padded, valid = pad_batch_to(
+        np.zeros((9, 2, 2, 3), np.uint8), bucket_size(9, buckets)
+    )
+    assert padded.shape[0] == 16 and valid == 9
+
+
+def test_pad_batch_to_empty_batch():
+    padded, valid = pad_batch_to(np.zeros((0, 4, 4, 3), np.uint8), 8)
+    assert padded.shape == (8, 4, 4, 3) and valid == 0

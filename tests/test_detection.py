@@ -85,3 +85,17 @@ def test_predict_no_faces(rng):
     imgs = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
     landmarks, indices = det.predict(imgs)
     assert len(landmarks) == 0 and indices == []
+
+
+def test_threshold_override_takes_effect_after_first_call(rng):
+    """vis_threshold mutation after a compiled call must retrace, not hit
+    the stale executable (the jit cache keys on config values)."""
+    from face_crop_plus_tpu.models.detection import RetinaFace
+
+    det = RetinaFace(strategy="all", vis=2.0)  # nothing passes
+    imgs = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    lm, idx = det.predict(imgs)
+    assert len(idx) == 0
+    det.vis_threshold = -1.0  # everything passes now
+    lm2, idx2 = det.predict(imgs)
+    assert len(idx2) > 0

@@ -171,3 +171,21 @@ def test_predict_contract(par, rng):
             assert len(inds) == len(masks)
             assert masks.dtype == np.uint8
             assert set(np.unique(masks)) <= {0, 255}
+
+
+def test_mean_std_override_takes_effect_after_first_call(rng):
+    """mean/std are documented as overridable after construction; the jit
+    cache must key on their values, not object identity."""
+    from face_crop_plus_tpu.models.parsing import BiSeNet
+
+    m = BiSeNet(attr_groups={"x": [1]}, max_batch_size=2)
+    imgs = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    labels1, counts1 = m.parse_batch(imgs)
+    m.mean = [0.0, 0.0, 0.0]
+    m.std = [0.1, 0.1, 0.1]
+    labels2, counts2 = m.parse_batch(imgs)
+    # Radically different normalization must change the (random-weight)
+    # logits argmax somewhere.
+    assert not np.array_equal(counts1, counts2) or not np.array_equal(
+        labels1, labels2
+    )
