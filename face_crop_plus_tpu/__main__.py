@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 from typing import Any
@@ -120,7 +121,10 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
 def main(argv: list[str] | None = None):
     kwargs = parse_args(argv)
 
-    input_dir = kwargs.pop("input_dir")
+    # Normalize away trailing separators: '<dir>/' + '_temp' would otherwise
+    # nest the scratch dir INSIDE the input dir (and then appear in its own
+    # file listing).
+    input_dir = os.path.normpath(kwargs.pop("input_dir"))
     output_dir = kwargs.pop("output_dir")
     needs_clean = kwargs.pop("clean_names")
     is_inplace = kwargs.pop("clean_names_inplace")

@@ -110,6 +110,8 @@ def main(argv=None):
         print("verify OK: key set and shapes match the model structure")
 
     out = args.out or os.path.join(default_cache_dir(), f"{model}.npz")
+    if not out.endswith(".npz"):
+        out += ".npz"  # np.savez appends it anyway; keep the printed path true
     save_npz(converted, out)
     print(f"wrote {out}")
     return 0

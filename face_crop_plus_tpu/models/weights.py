@@ -109,16 +109,17 @@ def load_npz(path: str) -> dict[str, np.ndarray]:
 def find_weights(model_name: str, weights_dir: str | None) -> dict[str, np.ndarray] | None:
     """Probes for converted (or convertible) weights for a model.
 
-    Search order, in ``weights_dir`` then the default cache dir:
-    ``<model>.npz`` → the reference ``.pth`` filename (auto-converted and
-    cached as ``.npz``).  Returns None when nothing is found.
+    Search order: ``<model>.npz`` then the reference ``.pth`` filename
+    (auto-converted and cached as ``.npz``), fully within ``weights_dir``
+    BEFORE falling back to the default cache dir — an explicitly supplied
+    checkpoint must never be shadowed by a stale auto-cached conversion.
+    Returns None when nothing is found.
     """
     dirs = [d for d in (weights_dir, default_cache_dir()) if d]
     for d in dirs:
         npz = os.path.join(d, f"{model_name}.npz")
         if os.path.isfile(npz):
             return load_npz(npz)
-    for d in dirs:
         pth = os.path.join(d, PTH_FILENAMES.get(model_name, f"{model_name}.pth"))
         if os.path.isfile(pth):
             converted = convert_pth_file(pth)

@@ -46,7 +46,11 @@ def anchor_grid(height: int, width: int) -> np.ndarray:
         grid_h = np.broadcast_to(ah[None, None, :], (fh, fw, len(sizes)))
         level = np.stack([grid_cx, grid_cy, grid_w, grid_h], axis=-1)
         levels.append(level.reshape(-1, 4))
-    return np.concatenate(levels, axis=0)
+    out = np.concatenate(levels, axis=0)
+    # The lru_cache hands this array out by reference; freeze it so an
+    # accidental in-place mutation cannot poison every later detection.
+    out.flags.writeable = False
+    return out
 
 
 def num_anchors(height: int, width: int) -> int:

@@ -25,11 +25,25 @@ DATA_AXIS = "data"
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """Builds a 1-D data-parallel mesh over the available devices."""
+    """Builds a 1-D data-parallel mesh over the available devices.
+
+    Raises ValueError on impossible requests instead of silently truncating:
+    a smaller-than-asked mesh changes padding multiples and halves
+    throughput with no visible signal.
+    """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if n_devices <= 0:
+                raise ValueError(f"n_devices must be positive, got {n_devices}")
+            if n_devices > len(devices):
+                raise ValueError(
+                    f"Requested a {n_devices}-device mesh but only "
+                    f"{len(devices)} devices are available."
+                )
             devices = devices[:n_devices]
+    if len(devices) == 0:
+        raise ValueError("Cannot build a mesh over zero devices.")
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 

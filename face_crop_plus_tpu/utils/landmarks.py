@@ -113,10 +113,11 @@ def parse_landmarks_file(file_path: str, **kwargs) -> tuple[np.ndarray, np.ndarr
         if file_path.endswith(".csv"):
             kwargs.setdefault("delimiter", ",")
             kwargs.setdefault("skip_header", 1)
-        filenames = np.genfromtxt(file_path, usecols=0, dtype=str, **kwargs)
-        table = np.atleast_2d(np.genfromtxt(file_path, dtype=np.float32, **kwargs))
-        filenames = np.atleast_1d(filenames)
-        landmarks = table[:, 1:]
+        # One tokenizing pass (CelebA-scale files are ~200k rows); the
+        # numeric columns are converted from the string table afterwards.
+        table = np.atleast_2d(np.genfromtxt(file_path, dtype=str, **kwargs))
+        filenames = np.atleast_1d(table[:, 0])
+        landmarks = table[:, 1:].astype(np.float32)
 
     return landmarks.reshape(len(landmarks), -1, 2), filenames
 

@@ -55,12 +55,14 @@ def clean_names(
     if exclude is None:
         exclude = DEFAULT_EXCLUDE
 
-    max_chars -= len(input_dir)
+    # Budget against the directory the files will actually land in.
+    dest_dir = input_dir if output_dir is None else output_dir
+    max_chars -= len(dest_dir)
     filename_counts = collections.defaultdict(lambda: -1)
 
     if max_chars <= 5:
         raise RuntimeError(
-            f"Directory path length is too long ({len(input_dir)}) Either "
+            f"Directory path length is too long ({len(dest_dir)}) Either "
             f"reduce the length of the directory name or increase `max_chars`."
         )
 
@@ -68,6 +70,10 @@ def clean_names(
         os.makedirs(output_dir, exist_ok=True)
 
     filenames = os.listdir(input_dir)
+    # Names not yet processed (case-insensitive): an in-place rename must
+    # never land on one of these — os.rename would silently replace the
+    # other file's contents on POSIX.
+    pending = {f.lower() for f in filenames}
 
     if desc is not None:
         try:
@@ -78,6 +84,7 @@ def clean_names(
             pass
 
     for filename in filenames:
+        pending.discard(filename.lower())
         name, ext = os.path.splitext(filename)
 
         if not name.isascii():
@@ -87,13 +94,24 @@ def clean_names(
         if bad:
             name = re.sub(f"[{re.escape(''.join(bad))}]", "", name)
 
-        if len(filename) > max_chars:
+        # Truncate the *cleaned* name: transliteration can lengthen it
+        # (e.g. one CJK char → several ASCII chars).
+        if len(name + ext) > max_chars:
             name = name[: max_chars - len(ext)]
 
         filename_counts[(name + ext).lower()] += 1
-        while (count := filename_counts[(name + ext).lower()]) > 0:
-            name += f"-{count}"
-            filename_counts[(name + ext).lower()] += 1
+        while True:
+            count = filename_counts[(name + ext).lower()]
+            if count > 0:
+                name += f"-{count}"
+                filename_counts[(name + ext).lower()] += 1
+                continue
+            if output_dir is None and (name + ext).lower() in pending:
+                # A not-yet-processed file already holds this name; bump
+                # the counter so the dedup suffix kicks in next iteration.
+                filename_counts[(name + ext).lower()] += 1
+                continue
+            break
 
         if output_dir is not None:
             shutil.copy(

@@ -56,3 +56,25 @@ def test_clean_names_truncation(tmp_path):
     assert len(names) == 1
     # Name budget is max_chars minus the directory length (reference rule).
     assert len(names[0]) <= 100 - len(str(src))
+
+
+def test_inplace_rename_never_overwrites_pending_file(tmp_path):
+    """'ä.jpg' cleaning to 'a.jpg' must not clobber an existing a.jpg."""
+    a = tmp_path / "a.jpg"
+    a.write_bytes(b"original")
+    (tmp_path / "ä.jpg").write_bytes(b"umlaut")
+    clean_names(str(tmp_path), desc=None)
+    files = sorted(os.listdir(tmp_path))
+    contents = sorted((tmp_path / f).read_bytes() for f in files)
+    assert len(files) == 2
+    assert contents == [b"original", b"umlaut"]  # both payloads survive
+
+
+def test_truncation_applies_to_transliterated_name(tmp_path):
+    """CJK names lengthen under transliteration; the budget must apply to
+    the cleaned name, not the original."""
+    name = "北京市朝阪" * 4 + ".jpg"  # short original
+    (tmp_path / name).write_bytes(b"x")
+    clean_names(str(tmp_path), max_chars=len(str(tmp_path)) + 20, desc=None)
+    out = os.listdir(tmp_path)[0]
+    assert len(out) <= 20
