@@ -106,14 +106,76 @@ def load_npz(path: str) -> dict[str, np.ndarray]:
         return {k: z[k] for k in z.files}
 
 
-def find_weights(model_name: str, weights_dir: str | None) -> dict[str, np.ndarray] | None:
+def download_pth(
+    model_name: str,
+    dest_dir: str | None = None,
+    url_root: str | None = None,
+    timeout: float = 60.0,
+) -> str | None:
+    """Fetches the reference's released ``.pth`` checkpoint into the cache.
+
+    Equivalent of the reference's ``torch.hub.load_state_dict_from_url``
+    auto-download (``_layers.py:27-35``): downloads
+    ``<url_root>/<pth_filename>`` to ``dest_dir`` (default cache dir) via a
+    temp file + atomic rename (concurrent processes see either nothing or a
+    complete file).  Returns the local path, or None when the file cannot be
+    fetched (no network, HTTP error) — callers then fall back gracefully.
+
+    ``url_root`` defaults to :data:`UPSTREAM_URL_ROOT`; ``file://`` URLs are
+    supported (used by tests, and handy for air-gapped weight mirrors).
+    Set ``FCPT_NO_DOWNLOAD=1`` to disable all network access.
+    """
+    if os.environ.get("FCPT_NO_DOWNLOAD", "0") == "1":
+        return None
+    fname = PTH_FILENAMES.get(model_name)
+    if fname is None:
+        return None
+    dest_dir = dest_dir or default_cache_dir()
+    dest = os.path.join(dest_dir, fname)
+    if os.path.isfile(dest):
+        return dest
+
+    url = (url_root or os.environ.get("FCPT_WEIGHTS_URL", UPSTREAM_URL_ROOT)) + fname
+    import tempfile
+    import urllib.request
+
+    try:
+        os.makedirs(dest_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=dest_dir, suffix=".part")
+        try:
+            with os.fdopen(fd, "wb") as out, urllib.request.urlopen(
+                url, timeout=timeout
+            ) as resp:
+                while chunk := resp.read(1 << 20):
+                    out.write(chunk)
+            os.replace(tmp, dest)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+    except Exception as e:  # no network / 404 / permission — soft-fail
+        warnings.warn(f"Could not download {url}: {e}")
+        return None
+    return dest
+
+
+def find_weights(
+    model_name: str,
+    weights_dir: str | None,
+    auto_download: bool = True,
+) -> dict[str, np.ndarray] | None:
     """Probes for converted (or convertible) weights for a model.
 
     Search order: ``<model>.npz`` then the reference ``.pth`` filename
     (auto-converted and cached as ``.npz``), fully within ``weights_dir``
     BEFORE falling back to the default cache dir — an explicitly supplied
     checkpoint must never be shadowed by a stale auto-cached conversion.
-    Returns None when nothing is found.
+    When nothing local is found and ``auto_download`` is set, the released
+    checkpoint is fetched from the upstream URL (like the reference's
+    torch.hub auto-download) and converted.  Returns None when nothing is
+    found anywhere.
     """
     dirs = [d for d in (weights_dir, default_cache_dir()) if d]
     for d in dirs:
@@ -125,6 +187,17 @@ def find_weights(model_name: str, weights_dir: str | None) -> dict[str, np.ndarr
             converted = convert_pth_file(pth)
             try:
                 save_npz(converted, os.path.join(default_cache_dir(), f"{model_name}.npz"))
+            except OSError:  # pragma: no cover - cache dir not writable
+                pass
+            return converted
+    if auto_download:
+        pth = download_pth(model_name)
+        if pth is not None:
+            converted = convert_pth_file(pth)
+            try:
+                save_npz(
+                    converted, os.path.join(default_cache_dir(), f"{model_name}.npz")
+                )
             except OSError:  # pragma: no cover - cache dir not writable
                 pass
             return converted

@@ -84,7 +84,14 @@ def read_images(
     ``target_max`` set, oversized sources are decoded directly at 1/2–1/8
     scale in the DCT domain — never below the pipeline's working resolution
     — skipping most of the decode work and host→device bytes.  Non-JPEG
-    files and native-decode failures fall back to cv2/PIL.
+    files and native-decode failures fall back to cv2/PIL, also decoded in
+    parallel (cv2/PIL release the GIL in their codecs) so PNG-heavy
+    directories keep full decode throughput.
+
+    Native JPEG decode defaults to pixel parity with ``cv2.imread``
+    (accurate IDCT + fancy chroma upsampling); set ``FCPT_FAST_DECODE=1``
+    to trade a few intensity levels on chroma-subsampled files for decode
+    throughput.
 
     Returns:
         Tuple of a list of RGB uint8 (H, W, 3) arrays and the corresponding
@@ -92,9 +99,11 @@ def read_images(
     """
     from . import native_io
 
+    fast = os.environ.get("FCPT_FAST_DECODE", "0") == "1"
     paths = [os.path.join(input_dir, f) for f in file_names]
     results: list[np.ndarray | None] = [None] * len(paths)
 
+    native_ok: set[int] = set()
     if native_io.available():
         jpg_ids = [
             i
@@ -115,14 +124,32 @@ def read_images(
                 by_denom = {1: jpg_ids}
             for denom, ids in by_denom.items():
                 decoded = native_io.decode_batch(
-                    [paths[i] for i in ids], scale_denom=denom, n_threads=n_threads
+                    [paths[i] for i in ids],
+                    scale_denom=denom,
+                    n_threads=n_threads,
+                    fast=fast,
                 )
                 for i, img in zip(ids, decoded):
-                    results[i] = img
+                    if img is not None:
+                        results[i] = img
+                        native_ok.add(i)
+
+    fallback_ids = [i for i in range(len(paths)) if i not in native_ok]
+    if len(fallback_ids) > 1 and n_threads > 1:
+        from multiprocessing.pool import ThreadPool
+
+        with ThreadPool(min(n_threads, len(fallback_ids))) as pool:
+            for i, img in zip(
+                fallback_ids, pool.map(imread_rgb, [paths[i] for i in fallback_ids])
+            ):
+                results[i] = img
+    else:
+        for i in fallback_ids:
+            results[i] = imread_rgb(paths[i])
 
     images, kept = [], []
     for i, path in enumerate(paths):
-        image = results[i] if results[i] is not None else imread_rgb(path)
+        image = results[i]
         if image is None:
             warnings.warn(f"Could not read the image {path}")
             continue

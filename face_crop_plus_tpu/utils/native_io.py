@@ -68,6 +68,7 @@ def load_library():
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
+            ctypes.c_int,
         ]
         lib.fcpt_decode_jpeg.restype = ctypes.c_int
         lib.fcpt_jpeg_dims.argtypes = [
@@ -86,6 +87,7 @@ def load_library():
             ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
             ctypes.c_int,
+            ctypes.c_int,
         ]
         lib.fcpt_decode_batch.restype = ctypes.c_int
         _lib = lib
@@ -96,8 +98,13 @@ def available() -> bool:
     return load_library() is not None
 
 
-def decode_jpeg(path: str, scale_denom: int = 1) -> np.ndarray | None:
-    """Decodes one JPEG to an RGB uint8 array (None on failure)."""
+def decode_jpeg(path: str, scale_denom: int = 1, fast: bool = False) -> np.ndarray | None:
+    """Decodes one JPEG to an RGB uint8 array (None on failure).
+
+    ``fast=False`` (default) decodes with accurate IDCT + fancy chroma
+    upsampling — pixel-identical to ``cv2.imread``; ``fast=True`` trades a
+    few intensity levels on chroma-subsampled files for throughput.
+    """
     lib = load_library()
     if lib is None:
         return None
@@ -105,7 +112,8 @@ def decode_jpeg(path: str, scale_denom: int = 1) -> np.ndarray | None:
     h = ctypes.c_int()
     w = ctypes.c_int()
     rc = lib.fcpt_decode_jpeg(
-        path.encode(), ctypes.byref(buf), ctypes.byref(h), ctypes.byref(w), scale_denom
+        path.encode(), ctypes.byref(buf), ctypes.byref(h), ctypes.byref(w),
+        scale_denom, int(fast),
     )
     if rc != 0:
         return None
@@ -129,7 +137,7 @@ def jpeg_dims(path: str) -> tuple[int, int] | None:
 
 
 def decode_batch(
-    paths: list[str], scale_denom: int = 1, n_threads: int = 8
+    paths: list[str], scale_denom: int = 1, n_threads: int = 8, fast: bool = False
 ) -> list[np.ndarray | None]:
     """Decodes many JPEGs in parallel native threads (None per failure)."""
     lib = load_library()
@@ -143,7 +151,9 @@ def decode_batch(
     hs = (ctypes.c_int * n)()
     ws = (ctypes.c_int * n)()
     oks = (ctypes.c_int * n)()
-    lib.fcpt_decode_batch(c_paths, n, outs, hs, ws, oks, scale_denom, n_threads)
+    lib.fcpt_decode_batch(
+        c_paths, n, outs, hs, ws, oks, scale_denom, n_threads, int(fast)
+    )
     results: list[np.ndarray | None] = []
     for i in range(n):
         if oks[i] == 0 and outs[i]:

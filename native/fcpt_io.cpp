@@ -48,9 +48,12 @@ extern "C" {
 
 // Decodes a JPEG file to an RGB8 buffer (malloc-owned, caller frees with
 // fcpt_free). scale_denom must be 1, 2, 4 or 8 (DCT-domain downscale).
+// fast=0 decodes with libjpeg defaults (accurate IDCT + fancy chroma
+// upsampling) for pixel parity with cv2.imread; fast=1 trades up to a few
+// intensity levels on chroma-subsampled files for throughput.
 // Returns 0 on success, nonzero on failure.
 int fcpt_decode_jpeg(const char* path, unsigned char** out, int* out_h,
-                     int* out_w, int scale_denom) {
+                     int* out_w, int scale_denom, int fast) {
   *out = nullptr;
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
@@ -82,9 +85,16 @@ int fcpt_decode_jpeg(const char* path, unsigned char** out, int* out_h,
   cinfo.scale_denom =
       (scale_denom == 2 || scale_denom == 4 || scale_denom == 8) ? scale_denom
                                                                  : 1;
-  // Favor throughput: fast DCT and no fancy upsampling for chroma.
-  cinfo.dct_method = JDCT_IFAST;
-  cinfo.do_fancy_upsampling = FALSE;
+  if (fast) {
+    // Opt-in throughput mode: fast DCT, no fancy chroma upsampling.
+    cinfo.dct_method = JDCT_IFAST;
+    cinfo.do_fancy_upsampling = FALSE;
+  } else {
+    // Parity mode (default): match cv2.imread's libjpeg configuration so
+    // decoded pixels are identical to the reference pipeline's.
+    cinfo.dct_method = JDCT_ISLOW;
+    cinfo.do_fancy_upsampling = TRUE;
+  }
 
   jpeg_start_decompress(&cinfo);
   const int w = static_cast<int>(cinfo.output_width);
@@ -154,7 +164,7 @@ void fcpt_free(unsigned char* p) { std::free(p); }
 // oks (0 = success). Failed entries have outs[i] == nullptr.
 int fcpt_decode_batch(const char** paths, int n, unsigned char** outs,
                       int* hs, int* ws, int* oks, int scale_denom,
-                      int n_threads) {
+                      int n_threads, int fast) {
   if (n <= 0) return 0;
   if (n_threads < 1) n_threads = 1;
   std::atomic<int> next(0);
@@ -163,7 +173,7 @@ int fcpt_decode_batch(const char** paths, int n, unsigned char** outs,
       int i = next.fetch_add(1);
       if (i >= n) break;
       oks[i] = fcpt_decode_jpeg(paths[i], &outs[i], &hs[i], &ws[i],
-                                scale_denom);
+                                scale_denom, fast);
     }
   };
   std::vector<std::thread> threads;

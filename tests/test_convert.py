@@ -86,3 +86,89 @@ def test_cli_infers_model_from_filename(tmp_path, monkeypatch):
     rc = convert_main(["--pth", str(pth)])
     assert rc == 0
     assert (tmp_path / "cache" / "rrdb.npz").exists()
+
+
+# ---------------------------------------------------------------------------
+# Auto-download (reference _layers.py:27-35 equivalent), served via file://
+# ---------------------------------------------------------------------------
+
+
+def _small_pth(path):
+    """Tiny state dict under the reference's released filename."""
+    sd = {
+        "conv_first.weight": torch.zeros(64, 3, 3, 3),
+        "conv_first.bias": torch.arange(64, dtype=torch.float32),
+    }
+    torch.save(sd, str(path))
+
+
+def test_download_pth_file_url(tmp_path, monkeypatch):
+    from face_crop_plus_tpu.models.weights import download_pth
+
+    srv = tmp_path / "srv"
+    srv.mkdir()
+    _small_pth(srv / "bsrgan_x4_enhancer.pth")
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("FCPT_CACHE_DIR", str(cache))
+    monkeypatch.setenv("FCPT_WEIGHTS_URL", srv.as_uri() + "/")
+
+    got = download_pth("rrdb")
+    assert got == str(cache / "bsrgan_x4_enhancer.pth")
+    assert (cache / "bsrgan_x4_enhancer.pth").is_file()
+
+    # Second call must hit the local cache, not the "network".
+    (srv / "bsrgan_x4_enhancer.pth").unlink()
+    assert download_pth("rrdb") == got
+
+
+def test_find_weights_auto_downloads_and_converts(tmp_path, monkeypatch):
+    from face_crop_plus_tpu.models.weights import find_weights
+
+    srv = tmp_path / "srv"
+    srv.mkdir()
+    _small_pth(srv / "bsrgan_x4_enhancer.pth")
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("FCPT_CACHE_DIR", str(cache))
+    monkeypatch.setenv("FCPT_WEIGHTS_URL", srv.as_uri() + "/")
+
+    params = find_weights("rrdb", None)
+    assert params is not None
+    assert params["conv_first.weight"].shape == (3, 3, 3, 64)  # OIHW → HWIO
+    np.testing.assert_array_equal(params["conv_first.bias"], np.arange(64))
+    # Converted result is cached; subsequent lookups need no .pth at all.
+    assert (cache / "rrdb.npz").is_file()
+    (cache / "bsrgan_x4_enhancer.pth").unlink()
+    again = find_weights("rrdb", None)
+    assert again is not None and "conv_first.weight" in again
+
+
+def test_download_disabled_by_env(tmp_path, monkeypatch):
+    from face_crop_plus_tpu.models.weights import download_pth
+
+    monkeypatch.setenv("FCPT_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.setenv("FCPT_NO_DOWNLOAD", "1")
+    assert download_pth("rrdb") is None
+
+
+def test_download_failure_is_soft(tmp_path, monkeypatch):
+    import warnings as _warnings
+
+    from face_crop_plus_tpu.models.weights import download_pth, load_or_init
+
+    monkeypatch.setenv("FCPT_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.setenv(
+        "FCPT_WEIGHTS_URL", (tmp_path / "nope").as_uri() + "/"
+    )
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        assert download_pth("rrdb") is None
+    assert any("Could not download" in str(x.message) for x in w)
+    # No partial files left behind.
+    leftovers = list((tmp_path / "cache").glob("*.part")) if (tmp_path / "cache").is_dir() else []
+    assert leftovers == []
+
+    sentinel = {"w": np.zeros(1, np.float32)}
+    with _warnings.catch_warnings(record=True):
+        _warnings.simplefilter("always")
+        params, pretrained = load_or_init("rrdb", lambda: sentinel, None)
+    assert params is sentinel and pretrained is False
