@@ -453,32 +453,39 @@ class Cropper:
     # Saving (host)
     # ------------------------------------------------------------------
 
+    def _crop_file_name(self, source_name: str, occurrence: int) -> str:
+        """Output file name for the ``occurrence``-th face of a source image.
+
+        ``output_format`` overrides the extension; with ``strategy="all"``
+        (several crops may share a source) a ``_<occurrence>`` suffix keeps
+        names unique — both per reference cropper.py:554-609.
+        """
+        stem, ext = os.path.splitext(source_name)
+        if self.output_format is not None:
+            ext = "." + self.output_format
+        if self.strategy == "all":
+            stem = f"{stem}_{occurrence}"
+        return stem + ext
+
     def save_group(
         self,
         faces: np.ndarray,
         file_names: list[str] | np.ndarray,
         output_dir: str,
     ):
-        """Saves one group of faces/masks (reference cropper.py:554-609).
+        """Writes one group of faces (or masks) into one directory.
 
-        File names follow the source image names; with ``strategy="all"``
-        per-source counters ``_0, _1, ...`` are appended; ``output_format``
-        overrides the extension; empty groups create no directory.
+        Output naming comes from :meth:`_crop_file_name`; an empty group
+        creates no directory (reference cropper.py:554-609 semantics).
         """
         if len(faces) == 0:
             return
-
         os.makedirs(output_dir, exist_ok=True)
-        file_name_counts = defaultdict(lambda: -1)
-
-        for face, file_name in zip(faces, file_names):
-            name, ext = os.path.splitext(file_name)
-            if self.output_format is not None:
-                ext = "." + self.output_format
-            if self.strategy == "all":
-                file_name_counts[file_name] += 1
-                name += f"_{file_name_counts[file_name]}"
-            imwrite(os.path.join(output_dir, name + ext), np.asarray(face))
+        seen: defaultdict[str, int] = defaultdict(int)
+        for face, source in zip(faces, file_names):
+            out_name = self._crop_file_name(source, seen[source])
+            seen[source] += 1
+            imwrite(os.path.join(output_dir, out_name), np.asarray(face))
 
     def save_groups(
         self,
@@ -490,30 +497,42 @@ class Cropper:
     ):
         """Saves faces (and masks) into the attr × mask directory tree.
 
-        Directory layout parity with reference cropper.py:611-746: attribute
-        groups become sub-directories, mask groups become sub-directories
-        (plus ``<name>_mask`` siblings), and when both groupings are active
-        the tree is ``output_dir/<attr>/<mask>[_mask]/...`` with membership
-        the intersection of both groups.
+        Directory layout parity with reference cropper.py:611-746:
+
+        * no grouping → everything directly in ``output_dir``;
+        * attribute groups → one sub-directory per attribute;
+        * mask groups → one sub-directory per mask name plus a
+          ``<name>_mask`` sibling holding the binary masks;
+        * both active → ``output_dir/<attr>/<mask>[_mask]/...`` with cell
+          membership the intersection of the two groups.
         """
-        if attr_groups is None:
-            attr_groups = {"": list(range(len(faces)))}
-        if mask_groups is None:
-            mask_groups = {"": (list(range(len(faces))), None)}
+        n = len(faces)
+        # Normalize both groupings to the same shape: name → (member face
+        # indices, masks-or-None); a single unnamed group means "no filter".
+        attr_cells = {"": list(range(n))} if attr_groups is None else attr_groups
+        mask_cells = (
+            {"": (list(range(n)), None)} if mask_groups is None else mask_groups
+        )
 
-        for attr_name, attr_indices in attr_groups.items():
-            for mask_name, (mask_indices, masks) in mask_groups.items():
-                group_idx = sorted(set(attr_indices) & set(mask_indices))
-                group_dir = os.path.join(output_dir, attr_name, mask_name)
-
-                face_group = [faces[idx] for idx in group_idx]
-                file_name_group = file_names[group_idx]
-                self.save_group(face_group, file_name_group, group_dir)
-
+        for attr_name, attr_members in attr_cells.items():
+            attr_set = set(attr_members)
+            for mask_name, (mask_members, masks) in mask_cells.items():
+                # Cell membership in ascending face order; ``pos`` remembers
+                # each member's row in the mask group's stacked mask array.
+                cell = sorted(
+                    (face_i, pos)
+                    for pos, face_i in enumerate(mask_members)
+                    if face_i in attr_set
+                )
+                if not cell:
+                    continue
+                members = [face_i for face_i, _ in cell]
+                names = [file_names[i] for i in members]
+                cell_dir = os.path.join(output_dir, attr_name, mask_name)
+                self.save_group([faces[i] for i in members], names, cell_dir)
                 if masks is not None:
-                    group_dir += "_mask"
-                    sel = [mask_indices.index(i) for i in group_idx]
-                    self.save_group(masks[sel], file_name_group, group_dir)
+                    rows = [pos for _, pos in cell]
+                    self.save_group(masks[rows], names, cell_dir + "_mask")
 
     # ------------------------------------------------------------------
     # Per-batch pipeline

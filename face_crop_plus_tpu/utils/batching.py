@@ -72,32 +72,35 @@ def as_batch(
         int64 paddings (N, 4) in (top, bottom, left, right) order.
     """
     size = (size, size) if isinstance(size, int) else tuple(size)
+    tw, th = size
     img_batch, unscales, paddings = [], [], []
 
     for image in images:
-        (h, w), m = image.shape[:2], max(*image.shape[:2])
-        # The reference's heuristic verbatim (utils.py:320): CUBIC unless the
-        # longest image side exceeds the longest target side. For non-square
-        # targets this can pick CUBIC for a mild downscale — kept for output
-        # parity with the reference.
-        upscale = m <= max(size)
+        h, w = image.shape[:2]
+        # Interpolation parity with reference utils.py:320: CUBIC unless the
+        # longest image side exceeds the longest target side.  For non-square
+        # targets this can pick CUBIC for a mild downscale — kept as-is so
+        # resized pixels (and thus landmark positions) stay comparable.
+        upscale = max(h, w) <= max(size)
 
-        ratio_w, ratio_h = size[0] / w, size[1] / h
-        if ratio_w < ratio_h:
-            unscale = ratio_w
-            ww, hh = size[0], int(h * ratio_w)
-            padding = [(size[1] - hh) // 2, (size[1] - hh + 1) // 2, 0, 0]
+        # The binding axis is the one with the smaller target/source ratio;
+        # compare as integer cross-products (tw/w < th/h ⟺ tw·h < th·w) to
+        # avoid float-rounding flips on near-square inputs.  That axis fills
+        # its target dimension exactly; the other scales by the same factor
+        # (truncated) and is centered with the extra pixel below/right.
+        if tw * h < th * w:
+            scale = tw / w
+            rw, rh = tw, int(h * scale)
         else:
-            unscale = ratio_h
-            ww, hh = int(w * ratio_h), size[1]
-            padding = [0, 0, (size[0] - ww) // 2, (size[0] - ww + 1) // 2]
+            scale = th / h
+            rw, rh = int(w * scale), th
+        top, left = (th - rh) // 2, (tw - rw) // 2
+        pad = [top, th - rh - top, left, tw - rw - left]
 
-        image = _resize(image, (ww, hh), upscale)
-        image = _pad(image, padding, padding_mode)
-
+        image = _pad(_resize(image, (rw, rh), upscale), pad, padding_mode)
         img_batch.append(image)
-        unscales.append(np.float32(unscale))
-        paddings.append(np.array(padding, dtype=np.int64))
+        unscales.append(np.float32(scale))
+        paddings.append(np.asarray(pad, np.int64))
 
     return np.stack(img_batch), np.stack(unscales), np.stack(paddings)
 

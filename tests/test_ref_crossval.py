@@ -366,3 +366,34 @@ def test_landmark_only_multiface_vs_reference(tmp_path, demo_dir):
         b = cv2.imread(os.path.join(our_out, out_name))
         diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
         assert diff.mean() < 1.0
+
+
+# ---------------------------------------------------------------------------
+# as_batch geometry vs the reference implementation on random shapes
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("size", [(512, 512), (640, 384), (257, 999)])
+def test_as_batch_geometry_matches_reference(rng, size):
+    from face_crop_plus.utils import as_batch as ref_as_batch
+
+    from face_crop_plus_tpu.utils.batching import as_batch as our_as_batch
+
+    shapes = [
+        (int(rng.integers(16, 900)), int(rng.integers(16, 900))) for _ in range(24)
+    ]
+    # (extreme 1-pixel aspect ratios excluded: the reference itself crashes
+    # in cv2.resize when the scaled short side truncates to 0)
+    shapes += [(size[1], size[0]), (100, 100), (640, 16), (16, 640)]
+    images = [
+        rng.integers(0, 255, (h, w, 3), dtype=np.uint8) for h, w in shapes
+    ]
+
+    ref_batch, ref_unscales, ref_paddings = ref_as_batch(list(images), size)
+    our_batch, our_unscales, our_paddings = our_as_batch(list(images), size)
+
+    np.testing.assert_array_equal(our_paddings, np.asarray(ref_paddings))
+    # The reference carries unscale factors at float64; ours are float32.
+    np.testing.assert_allclose(our_unscales, np.asarray(ref_unscales), rtol=1e-6)
+    assert our_batch.shape == tuple(ref_batch.shape)
+    np.testing.assert_array_equal(our_batch, np.asarray(ref_batch))
