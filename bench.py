@@ -113,7 +113,11 @@ def build_cropper(device_str: str, landmarks: str | None = None):
     if cropper.det_model is not None:
         # Random weights leave no score above 0.6; vis=-1 keeps exactly one
         # face per image (strategy largest) — the realistic CelebA workload.
+        # With every anchor above threshold, pre_topk always "binds", so cap
+        # growth must stay off (it exists for real crowd images).
         cropper.det_model.vis_threshold = -1.0
+        cropper.det_model.auto_grow = False
+        cropper.det_model._cap_warned = True
     return cropper
 
 

@@ -75,6 +75,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Compute device: 'auto', 'tpu', 'cpu', or 'tpu:N'.")
     p.add_argument("-mf", "--max-faces", type=int, default=64,
                    help="Static per-image face cap for strategy 'all'.")
+    p.add_argument("-pt", "--pre-topk", type=int, default=256,
+                   help="Static per-image candidate cap before NMS.")
+    p.add_argument("-ng", "--no-auto-grow", action="store_true",
+                   help="Disable growing pre-topk/max-faces on demand when "
+                        "a crowd image overflows them (a binding cap then "
+                        "warns instead of recompiling with larger caps).")
+    p.add_argument("-mfs", "--max-fused-shapes", type=int, default=4,
+                   help="How many distinct source-image shapes may compile "
+                        "their own fused device program.")
     p.add_argument("-w", "--weights-dir", type=str, default=None,
                    help="Directory with converted model weights (.npz or the "
                         "reference .pth files).")
@@ -115,6 +124,7 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
         if kwargs[key] is not None and kwargs[key] < 0:
             kwargs[key] = None
 
+    kwargs["auto_grow"] = not kwargs.pop("no_auto_grow")
     return kwargs
 
 

@@ -115,6 +115,15 @@ class Cropper:
     Args (additional to the reference's):
         max_faces: Upper bound of faces kept per image when
             ``strategy="all"`` (XLA needs a static bound). Defaults to 64.
+        pre_topk: Static per-image candidate cap before NMS. Defaults
+            to 256.
+        auto_grow: Grow ``pre_topk``/``max_faces`` on demand (with a
+            recompile) when a crowd image overflows them, preserving the
+            reference's uncapped semantics. Defaults to True; when off (or
+            at the growth ceiling) a binding cap warns once.
+        max_fused_shapes: How many distinct source-image shapes may receive
+            their own fused single-dispatch device program (each costs one
+            XLA compile); further shapes use the staged path. Defaults to 4.
         weights_dir: Directory holding converted model weights (as produced
             by :mod:`face_crop_plus_tpu.models.weights`). If None, a default
             cache location is probed; missing weights fall back to random
@@ -142,6 +151,9 @@ class Cropper:
         num_processes: int = 1,
         device: str | None = "auto",
         max_faces: int = 64,
+        pre_topk: int = 256,
+        auto_grow: bool = True,
+        max_fused_shapes: int = 4,
         weights_dir: str | None = None,
         mesh=None,
     ):
@@ -161,6 +173,9 @@ class Cropper:
         self.num_processes = num_processes
         self.device = device
         self.max_faces = max_faces
+        self.pre_topk = pre_topk
+        self.auto_grow = auto_grow
+        self.max_fused_shapes = max_fused_shapes
         self.weights_dir = weights_dir
         self.mesh = mesh
 
@@ -206,7 +221,6 @@ class Cropper:
         #: uses the classic staged path with host resizing).
         self._fused_shapes: set = set()
         self._fused_shapes_lock = threading.Lock()
-        self.max_fused_shapes = 4
         if self.strategy == "all" and self.max_faces > 8:
             # The fused program warps every padded face slot (N x max_faces
             # crops per batch); with a large static cap the staged path —
@@ -269,6 +283,8 @@ class Cropper:
                 strategy=self.strategy,
                 vis=self.det_threshold,
                 max_faces=self.max_faces,
+                pre_topk=self.pre_topk,
+                auto_grow=self.auto_grow,
                 weights_dir=self.weights_dir,
                 device=self._device,
                 mesh=self.mesh,

@@ -46,6 +46,13 @@ _BGR_MEAN = (104.0, 117.0, 123.0)
 #: Box/landmark decode variances (reference retinaface.py:90).
 _VARIANCES = (0.1, 0.2)
 
+#: Hard ceiling for grow-on-demand pre-NMS candidates: NMS builds a (K, K)
+#: IoU matrix per image, so memory grows quadratically; 1024 keeps it ~4 MB
+#: per image while covering extreme crowd shots (the reference applies no
+#: cap at all, retinaface.py:214-304, at the cost of a per-candidate Python
+#: loop).
+_PRE_TOPK_CEILING = 1024
+
 
 # ---------------------------------------------------------------------------
 # Network blocks (parameter names mirror the reference's module paths)
@@ -165,6 +172,7 @@ class RetinaFace:
         vis: float = 0.6,
         max_faces: int = 64,
         pre_topk: int = 256,
+        auto_grow: bool = True,
         weights_dir: str | None = None,
         device=None,
         mesh=None,
@@ -176,6 +184,12 @@ class RetinaFace:
         self.variance = list(_VARIANCES)
         self.max_faces = int(max_faces)
         self.pre_topk = int(pre_topk)
+        #: Grow ``pre_topk``/``max_faces`` on demand when a batch overflows
+        #: them (one recompile per grown cap; doubling keeps the program
+        #: count logarithmic).  Off → a warning marks potential divergence
+        #: from the uncapped reference semantics.
+        self.auto_grow = bool(auto_grow)
+        self._cap_warned = False
         self.device = device
         self.mesh = mesh
 
@@ -282,12 +296,81 @@ class RetinaFace:
     def __eq__(self, other):
         return self is other
 
+    def grown_args(self, caps: np.ndarray, args: dict, n_anchors: int) -> dict | None:
+        """Enlarged static detect args when a candidate/face cap bound.
+
+        ``caps`` is the (N, 2) diagnostic from :func:`select_faces`
+        (candidates above threshold, raw NMS keeps).  Caps grow to the next
+        power of two that fits the observed demand — ``pre_topk`` bounded by
+        the anchor count and :data:`_PRE_TOPK_CEILING`, ``max_faces`` (only
+        meaningful for strategy "all") bounded by ``pre_topk``.  Returns
+        None when nothing needs to (or can) grow; a cap that still binds at
+        its ceiling warns once, since the uncapped reference
+        (retinaface.py:214-304) could then produce different output.
+        """
+        if len(caps) == 0:
+            return None
+        n_above = int(caps[:, 0].max())
+        kept_raw = int(caps[:, 1].max())
+        new = dict(args)
+        grew = False
+
+        def next_pow2(need, lo):
+            t = lo
+            while t < need:
+                t *= 2
+            return t
+
+        k = min(args["pre_topk"], n_anchors)
+        k_ceiling = min(_PRE_TOPK_CEILING, n_anchors)
+        if n_above > k:
+            if self.auto_grow and k < k_ceiling:
+                new["pre_topk"] = min(next_pow2(n_above, k), k_ceiling)
+                grew = True
+            else:
+                self._warn_cap(
+                    f"{n_above} candidates above the visibility threshold "
+                    f"exceed pre_topk={k}"
+                )
+
+        if args["strategy"] == "all" and kept_raw > args["max_faces"]:
+            f_ceiling = new["pre_topk"]
+            if self.auto_grow and args["max_faces"] < f_ceiling:
+                new["max_faces"] = min(
+                    next_pow2(kept_raw, args["max_faces"]), f_ceiling
+                )
+                grew = True
+            else:
+                self._warn_cap(
+                    f"{kept_raw} NMS-kept faces exceed max_faces="
+                    f"{args['max_faces']}"
+                )
+
+        return new if grew else None
+
+    def _warn_cap(self, detail: str):
+        if self._cap_warned:
+            return
+        self._cap_warned = True
+        import warnings
+
+        warnings.warn(
+            f"Detection cap binding: {detail}; output is truncated and may "
+            "diverge from the uncapped reference semantics. Raise "
+            "pre_topk/max_faces or enable auto_grow."
+        )
+
     def detect_padded(self, images: np.ndarray):
         """Device-side detection returning padded arrays (no compaction).
 
         With a mesh, the image batch is sharded along the batch axis
         (padding to a mesh-size multiple at the host boundary) and params
         are replicated; XLA partitions the whole program data-parallel.
+
+        When a batch overflows ``pre_topk``/``max_faces`` (crowd images)
+        and ``auto_grow`` is on, detection re-dispatches with doubled caps —
+        new static shapes compile once and are kept for the session; the
+        grown caps persist on the model so later batches skip the retry.
         """
         h, w = images.shape[1], images.shape[2]
         if self.mesh is not None:
@@ -295,14 +378,24 @@ class RetinaFace:
 
             padded, valid_n = pad_to_multiple(np.asarray(images), self.mesh.size)
             imgs = shard_batch(padded, self.mesh)
-            landms, valid = self._detect(
-                self.params, imgs, h, w, **self._detect_args()
-            )
-            return np.asarray(landms)[:valid_n], np.asarray(valid)[:valid_n]
-        imgs = jnp.asarray(images)
-        if self.device is not None:
-            imgs = jax.device_put(imgs, self.device)
-        return self._detect(self.params, imgs, h, w, **self._detect_args())
+        else:
+            valid_n = len(images)
+            imgs = jnp.asarray(images)
+            if self.device is not None:
+                imgs = jax.device_put(imgs, self.device)
+
+        n_anchors = len(anchor_grid(h, w))
+        args = self._detect_args()
+        while True:
+            landms, valid, caps = self._detect(self.params, imgs, h, w, **args)
+            grown = self.grown_args(np.asarray(caps)[:valid_n], args, n_anchors)
+            if grown is None:
+                break
+            args = grown
+            # Persist so subsequent batches start at the grown caps.
+            self.pre_topk = args["pre_topk"]
+            self.max_faces = args["max_faces"]
+        return np.asarray(landms)[:valid_n], np.asarray(valid)[:valid_n]
 
     def predict(self, images: np.ndarray) -> tuple[np.ndarray, list[int]]:
         """Predicts landmark sets for a uint8 RGB (N, H, W, 3) image batch.

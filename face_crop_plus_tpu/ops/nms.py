@@ -114,12 +114,19 @@ def select_faces(
             validated exact on hardware) instead of the XLA fori_loop.
 
     Returns:
-        Tuple of padded landmarks (N, F, 10) float32 and validity mask
-        (N, F) bool, where F = ``max_faces`` for "all" and 1 otherwise.
-        Valid faces are packed to the front in score-descending order
-        (matching the reference's NMS-kept ordering).
+        Tuple of padded landmarks (N, F, 10) float32, validity mask
+        (N, F) bool, where F = ``max_faces`` for "all" and 1 otherwise,
+        and int32 cap diagnostics (N, 2): per image, the number of
+        candidates above the visibility threshold (column 0 — compare
+        against ``pre_topk``) and the raw NMS keep count (column 1 —
+        compare against ``max_faces``).  The reference applies neither cap
+        (retinaface.py:214-304), so a binding cap means potential output
+        divergence; callers use the diagnostics to warn or re-dispatch with
+        grown caps.  Valid faces are packed to the front in score-descending
+        order (matching the reference's NMS-kept ordering).
     """
     s = jnp.where(scores > vis_threshold, scores, -jnp.inf)
+    n_above = (scores > vis_threshold).sum(axis=1).astype(jnp.int32)  # (N,)
     k = min(pre_topk, scores.shape[1])  # static clamp for tiny inputs
     top_s, top_i = lax.top_k(s, k)  # (N, K) score-desc
     valid = jnp.isfinite(top_s)
@@ -134,13 +141,16 @@ def select_faces(
     else:
         keep = greedy_nms_mask(iou_matrix_plus1(b), valid, nms_threshold)
 
+    kept_raw = keep.sum(axis=1).astype(jnp.int32)  # (N,) pre-max_faces
+    caps = jnp.stack([n_above, kept_raw], axis=1)  # (N, 2)
+
     if strategy == "best":
         # First kept candidate per image == highest score (argmax finds the
         # first True in a boolean array).
         idx = jnp.argmax(keep, axis=1)  # (N,)
         any_kept = keep.any(axis=1)
         sel = jnp.take_along_axis(lm, idx[:, None, None], axis=1)  # (N, 1, 10)
-        return sel, any_kept[:, None]
+        return sel, any_kept[:, None], caps
 
     if strategy == "largest":
         area = (b[..., 2] - b[..., 0] + 1.0) * (b[..., 3] - b[..., 1] + 1.0)
@@ -148,7 +158,7 @@ def select_faces(
         idx = jnp.argmax(area, axis=1)
         any_kept = keep.any(axis=1)
         sel = jnp.take_along_axis(lm, idx[:, None, None], axis=1)
-        return sel, any_kept[:, None]
+        return sel, any_kept[:, None], caps
 
     if strategy == "all":
         # Rank kept candidates (score order) and scatter into fixed slots.
@@ -156,8 +166,8 @@ def select_faces(
         slot = jnp.where(keep & (rank < max_faces), rank, max_faces)
         out = jnp.zeros((scores.shape[0], max_faces + 1, 10), landms.dtype)
         out = jax.vmap(lambda o, sl, v: o.at[sl].set(v))(out, slot, lm)
-        counts = jnp.minimum(keep.sum(axis=1), max_faces)  # (N,)
+        counts = jnp.minimum(kept_raw, max_faces)  # (N,)
         mask = jnp.arange(max_faces)[None, :] < counts[:, None]
-        return out[:, :max_faces], mask
+        return out[:, :max_faces], mask, caps
 
     raise ValueError(f"Unsupported strategy: {strategy}")

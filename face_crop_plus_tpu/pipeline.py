@@ -159,7 +159,7 @@ class FusedPipeline:
         boxes, landms = decode_detections(
             loc, ldm, priors, (interim_h, interim_w), variances
         )
-        sel, valid = select_faces(
+        sel, valid, caps = select_faces(
             scores2[..., 1].astype(jnp.float32),
             boxes,
             landms,
@@ -169,7 +169,7 @@ class FusedPipeline:
             max_faces=max_faces,
             strategy=strategy,
             use_pallas=getattr(self.det, "use_pallas", False),
-        )  # sel: (N, K, 10), valid: (N, K)
+        )  # sel: (N, K, 10), valid: (N, K), caps: (N, 2)
 
         k = sel.shape[1]
         face_lm = sel.reshape(n * k, 5, 2)
@@ -187,7 +187,7 @@ class FusedPipeline:
         crops = jnp.clip(jnp.rint(crops), 0, 255).astype(jnp.uint8)
 
         valid = valid.reshape(n * k) & ok
-        return crops, face_lm, valid
+        return crops, face_lm, valid, caps
 
     def process(
         self,
@@ -224,9 +224,22 @@ class FusedPipeline:
             if self.device is not None:
                 imgs = jax.device_put(imgs, self.device)
 
-        dev_crops, face_lm, valid = self._run(
-            self.det.params, imgs, ih, iw, **self.det._detect_args()
-        )
+        from .ops.anchors import anchor_grid as _grid
+
+        n_anchors = len(_grid(ih, iw))
+        args = self.det._detect_args()
+        while True:
+            dev_crops, face_lm, valid, caps = self._run(
+                self.det.params, imgs, ih, iw, **args
+            )
+            grown = self.det.grown_args(
+                np.asarray(caps)[:valid_n], args, n_anchors
+            )
+            if grown is None:
+                break
+            args = grown
+            self.det.pre_topk = args["pre_topk"]
+            self.det.max_faces = args["max_faces"]
         for arr in (dev_crops, face_lm, valid):
             # Start device→host copies eagerly so they overlap with other
             # in-flight batches (np.asarray below then completes them).

@@ -52,10 +52,10 @@ def test_strategy_outputs_subset_of_all(seed):
     args = (jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(landms))
     # max_faces >= pre_topk so "all" is untruncated (otherwise "largest"
     # may legitimately pick a face beyond the static cap).
-    lm_all, v_all = select_faces(*args, vis_threshold=0.3, pre_topk=32,
+    lm_all, v_all, _c = select_faces(*args, vis_threshold=0.3, pre_topk=32,
                                  max_faces=32, strategy="all")
     for strat in ("best", "largest"):
-        lm_s, v_s = select_faces(*args, vis_threshold=0.3, pre_topk=32,
+        lm_s, v_s, _c2 = select_faces(*args, vis_threshold=0.3, pre_topk=32,
                                  strategy=strat)
         for i in range(scores.shape[0]):
             if not np.asarray(v_s)[i, 0]:

@@ -75,7 +75,7 @@ def test_greedy_mask_matches_naive(rng):
 
 def test_select_faces_all_ordering(rng):
     scores, boxes, landms = _random_dets(rng)
-    lm, valid = select_faces(
+    lm, valid, _caps = select_faces(
         jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(landms),
         vis_threshold=0.4, pre_topk=40, max_faces=8, strategy="all",
     )
@@ -92,11 +92,11 @@ def test_select_faces_all_ordering(rng):
 
 def test_select_faces_best_and_largest(rng):
     scores, boxes, landms = _random_dets(rng)
-    lm_b, v_b = select_faces(
+    lm_b, v_b, _c1 = select_faces(
         jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(landms),
         vis_threshold=0.4, pre_topk=40, strategy="best",
     )
-    lm_l, v_l = select_faces(
+    lm_l, v_l, _c2 = select_faces(
         jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(landms),
         vis_threshold=0.4, pre_topk=40, strategy="largest",
     )
@@ -119,7 +119,7 @@ def test_select_faces_none_above_threshold(rng):
     scores = np.full((2, 10), 0.1, np.float32)
     boxes = np.tile(np.array([0, 0, 10, 10], np.float32), (2, 10, 1))
     landms = np.zeros((2, 10, 10), np.float32)
-    _, valid = select_faces(
+    _, valid, _caps = select_faces(
         jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(landms),
         vis_threshold=0.6, pre_topk=10, max_faces=4, strategy="all",
     )
