@@ -206,13 +206,13 @@ class Cropper:
         self._init_fused()
 
     def _init_fused(self):
-        """Builds the fused single-dispatch detect→align→crop executor.
+        """Builds the fused device executor for the detection-active paths.
 
-        Used on the hot path when detection is active and no enhancement
-        interposes between detection and cropping (enhancement operates on
-        the interim images, so it forces the staged path).  Crops are then
-        sampled from the original-resolution images on device — one upload,
-        one program, one small download per batch.
+        One upload per batch; detect (and, when configured, the gate→SR→crop
+        chain for enhanced images) runs on device-resident pixels; only
+        crops and small landmark/valid arrays come down.  With enhancement
+        active on a mesh, the staged path is used instead (gating requires
+        cross-shard gathers).
         """
         self._fused = None
         #: Source shapes granted a fused program (bounded: each distinct
@@ -221,12 +221,9 @@ class Cropper:
         #: uses the classic staged path with host resizing).
         self._fused_shapes: set = set()
         self._fused_shapes_lock = threading.Lock()
-        if self.strategy == "all" and self.max_faces > 8:
-            # The fused program warps every padded face slot (N x max_faces
-            # crops per batch); with a large static cap the staged path —
-            # which compacts faces before warping — is the better tradeoff.
+        if self.enh_model is not None and self.mesh is not None:
             return
-        if self.det_model is not None and self.enh_model is None:
+        if self.det_model is not None:
             from .pipeline import FusedPipeline
 
             self._fused = FusedPipeline(
@@ -235,6 +232,7 @@ class Cropper:
                 output_size=self.output_size,
                 border_mode=self.padding,
                 allow_skew=self.allow_skew,
+                enh_model=self.enh_model,
                 device=self._device,
                 mesh=self.mesh,
             )

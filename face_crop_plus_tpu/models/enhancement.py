@@ -268,6 +268,31 @@ class RRDBNet:
             out[start : start + valid] = np.asarray(res)[:valid]
         return out
 
+    def enhance_device(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Enhances a device-resident uint8 batch, staying on device.
+
+        Device-to-device variant of :meth:`enhance_images` for fused
+        pipelines: sub-batches of ``enh_batch_size`` run through the jitted
+        SR program; a short tail sub-batch repeats its last row (padding
+        rows are sliced off before returning).
+        """
+        s2d = self.use_s2d and images.shape[1] % 2 == 0 and images.shape[2] % 2 == 0
+        n, bs = images.shape[0], self.enh_batch_size
+        outs = []
+        for start in range(0, n, bs):
+            idx = np.minimum(np.arange(start, start + bs), n - 1)
+            chunk = (
+                images
+                if (start == 0 and bs >= n and n == bs)
+                else jnp.take(images, jnp.asarray(idx), axis=0)
+            )
+            if s2d:
+                res = self._enhance_s2d(self.params, self._s2d_params(), chunk)
+            else:
+                res = self._enhance(self.params, chunk)
+            outs.append(res[: min(bs, n - start)])
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
     def predict(
         self,
         images: np.ndarray | list[np.ndarray],

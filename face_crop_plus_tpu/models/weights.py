@@ -106,11 +106,16 @@ def load_npz(path: str) -> dict[str, np.ndarray]:
         return {k: z[k] for k in z.files}
 
 
+#: URL roots that already failed once this process — skipped on retry so a
+#: network-less environment pays the connect timeout at most once.
+_failed_url_roots: set = set()
+
+
 def download_pth(
     model_name: str,
     dest_dir: str | None = None,
     url_root: str | None = None,
-    timeout: float = 60.0,
+    timeout: float | None = None,
 ) -> str | None:
     """Fetches the reference's released ``.pth`` checkpoint into the cache.
 
@@ -135,7 +140,12 @@ def download_pth(
     if os.path.isfile(dest):
         return dest
 
-    url = (url_root or os.environ.get("FCPT_WEIGHTS_URL", UPSTREAM_URL_ROOT)) + fname
+    root = url_root or os.environ.get("FCPT_WEIGHTS_URL", UPSTREAM_URL_ROOT)
+    if root in _failed_url_roots:
+        return None
+    url = root + fname
+    if timeout is None:
+        timeout = float(os.environ.get("FCPT_DOWNLOAD_TIMEOUT", "15"))
     import tempfile
     import urllib.request
 
@@ -156,6 +166,7 @@ def download_pth(
                 pass
             raise
     except Exception as e:  # no network / 404 / permission — soft-fail
+        _failed_url_roots.add(root)
         warnings.warn(f"Could not download {url}: {e}")
         return None
     return dest

@@ -38,6 +38,26 @@ from .ops.transform import estimate_affine, estimate_similarity
 from .ops.warp import warp_affine_batch
 
 
+def interim_geometry(
+    h: int, w: int, size: tuple[int, int]
+) -> tuple[float, tuple[int, int, int, int]]:
+    """Host mirror of :func:`device_resize_pad`'s static geometry.
+
+    Returns the scale factor and (top, bottom, left, right) padding that the
+    device program applies for a (h, w) source and ``size`` = (width,
+    height) target — pure arithmetic, so hosts can reason about interim
+    coordinates without touching device data.
+    """
+    tw, th = size
+    if tw * h < th * w:
+        scale = tw / w
+        rw, rh = tw, int(h * scale)
+    else:
+        scale = th / h
+        rw, rh = int(w * scale), th
+    return scale, ((th - rh) // 2, (th - rh + 1) // 2, (tw - rw) // 2, (tw - rw + 1) // 2)
+
+
 def device_resize_pad(
     images: jnp.ndarray, size: tuple[int, int]
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -52,19 +72,11 @@ def device_resize_pad(
     up to the interpolation kernel (device bilinear vs host cv2 area/cubic).
     """
     n, h, w, c = images.shape
-    tw, th = size
-    ratio_w, ratio_h = tw / w, th / h
-    if ratio_w < ratio_h:
-        scale = ratio_w
-        ww, hh = tw, int(h * ratio_w)
-        pad = ((th - hh) // 2, (th - hh + 1) // 2, 0, 0)
-    else:
-        scale = ratio_h
-        ww, hh = int(w * ratio_h), th
-        pad = (0, 0, (tw - ww) // 2, (tw - ww + 1) // 2)
+    scale, pad = interim_geometry(h, w, size)
+    t, b, l, r = pad
+    hh, ww = size[1] - t - b, size[0] - l - r
 
     x = resize_bilinear(images.astype(jnp.float32), (hh, ww))
-    t, b, l, r = pad
     x = jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
     return x, jnp.float32(scale), jnp.asarray(pad, jnp.int32)
 
@@ -83,10 +95,12 @@ class FusedPipeline:
         output_size: tuple[int, int],
         border_mode: str,
         allow_skew: bool = False,
+        enh_model=None,
         device=None,
         mesh=None,
     ):
         self.det = det_model
+        self.enh = enh_model
         self.target = jnp.asarray(target_landmarks, jnp.float32)
         self.output_size = tuple(output_size)
         self.border_mode = border_mode
@@ -100,21 +114,19 @@ class FusedPipeline:
     def __eq__(self, other):
         return self is other
 
-    @partial(
-        jax.jit,
-        static_argnames=(
-            "self",
-            "interim_h",
-            "interim_w",
-            "strategy",
-            "vis_threshold",
-            "nms_threshold",
-            "max_faces",
-            "pre_topk",
-            "variances",
-        ),
+    _DETECT_STATICS = (
+        "self",
+        "interim_h",
+        "interim_w",
+        "strategy",
+        "vis_threshold",
+        "nms_threshold",
+        "max_faces",
+        "pre_topk",
+        "variances",
     )
-    def _run(
+
+    def _detect_trace(
         self,
         params: dict,
         images: jnp.ndarray,
@@ -127,19 +139,16 @@ class FusedPipeline:
         pre_topk: int,
         variances: tuple,
     ):
-        """uint8 (N, H, W, 3) → (crops u8, landmarks f32, valid bool).
+        """Traced detect stage shared by the fused programs.
 
-        The detector's overridable knobs arrive as explicit static
-        arguments (not read off ``self.det`` at trace time) so that
-        post-construction overrides take effect — see
-        ``RetinaFace._detect`` for the jit-fastpath rationale.
+        uint8 (N, H, W, 3) → (face landmarks (N·K, 5, 2) in *source* image
+        coordinates, validity (N·K,), cap diagnostics (N, 2)).
 
         ``interim_*`` is the detector resolution; when it differs from the
-        input shape, resize+pad happens on device.  Crop warping always
-        samples from the *original-resolution* images (windowed to the
-        un-padded region at detector scale), so no quality is lost to the
-        interim resize — better than the reference, which crops from the
-        1024² interim images (cropper.py:839-843).
+        input shape, resize+pad happens on device.  The detector's
+        overridable knobs arrive as explicit static arguments (not read off
+        ``self.det`` at trace time) so post-construction overrides take
+        effect — see ``RetinaFace._detect`` for the jit-fastpath rationale.
         """
         p = Params(params)
         n, h, w, _ = images.shape
@@ -176,6 +185,37 @@ class FusedPipeline:
 
         # Landmarks back to source-image coordinates: un-pad, un-scale.
         face_lm = (face_lm - pad[None, None, jnp.array([2, 0])]) / scale
+        return face_lm, valid.reshape(n * k), caps, interim
+
+    @partial(jax.jit, static_argnames=_DETECT_STATICS)
+    def _run(
+        self,
+        params,
+        images,
+        interim_h,
+        interim_w,
+        strategy,
+        vis_threshold,
+        nms_threshold,
+        max_faces,
+        pre_topk,
+        variances,
+    ):
+        """Single-dispatch detect→estimate→warp (strategies best/largest).
+
+        uint8 (N, H, W, 3) → (crops u8, landmarks f32, valid bool, caps).
+        The face grid equals the image batch (K = 1), so warping every slot
+        is free of waste.  Crops are sampled from the *original-resolution*
+        images, so no quality is lost to the interim resize — better than
+        the reference, which crops from the 1024² interim images
+        (cropper.py:839-843).
+        """
+        face_lm, valid, caps, _interim = self._detect_trace(
+            params, images, interim_h, interim_w, strategy, vis_threshold,
+            nms_threshold, max_faces, pre_topk, variances,
+        )
+        n = images.shape[0]
+        k = face_lm.shape[0] // n
 
         estimate = estimate_affine if self.allow_skew else estimate_similarity
         mats, ok = estimate(face_lm, self.target)
@@ -185,9 +225,216 @@ class FusedPipeline:
             images, mats, img_idx, self.output_size, self.border_mode
         )
         crops = jnp.clip(jnp.rint(crops), 0, 255).astype(jnp.uint8)
+        return crops, face_lm, valid & ok, caps
 
-        valid = valid.reshape(n * k) & ok
-        return crops, face_lm, valid, caps
+    @partial(jax.jit, static_argnames=_DETECT_STATICS)
+    def _run_detect(
+        self,
+        params,
+        images,
+        interim_h,
+        interim_w,
+        strategy,
+        vis_threshold,
+        nms_threshold,
+        max_faces,
+        pre_topk,
+        variances,
+    ):
+        """Detect-only fused program (strategy "all"): small outputs.
+
+        Only landmarks + masks leave the device; the host compacts the
+        sparse (N, max_faces) face grid once and a second program warps
+        exactly the kept faces (:meth:`_crop_selected`) — instead of
+        warping all N×max_faces padded slots as one program would.
+        """
+        face_lm, valid, caps, _interim = self._detect_trace(
+            params, images, interim_h, interim_w, strategy, vis_threshold,
+            nms_threshold, max_faces, pre_topk, variances,
+        )
+        return face_lm, valid, caps
+
+    @partial(jax.jit, static_argnames=_DETECT_STATICS)
+    def _run_detect_interim(
+        self,
+        params,
+        images,
+        interim_h,
+        interim_w,
+        strategy,
+        vis_threshold,
+        nms_threshold,
+        max_faces,
+        pre_topk,
+        variances,
+    ):
+        """Detect program that also emits the interim batch (uint8, device).
+
+        Used when enhancement is active: the gated images' super-resolution
+        and their crops consume the interim-resolution pixels (reference
+        cropper.py:833-843 semantics), which stay device-resident instead of
+        round-tripping through the host.
+        """
+        face_lm, valid, caps, interim = self._detect_trace(
+            params, images, interim_h, interim_w, strategy, vis_threshold,
+            nms_threshold, max_faces, pre_topk, variances,
+        )
+        interim_u8 = jnp.clip(jnp.rint(interim), 0, 255).astype(jnp.uint8)
+        return face_lm, valid, caps, interim_u8
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _crop_selected(self, images, face_lm, sel_idx):
+        """Warps the selected face rows out of device-resident images.
+
+        Args:
+            images: uint8 (N, H, W, 3) device batch (original resolution).
+            face_lm: (N·K, 5, 2) landmarks from :meth:`_run_detect`.
+            sel_idx: (F,) int32 compacted face-slot indices (F is a
+                power-of-two bucket; padding rows repeat a valid slot).
+
+        Returns:
+            uint8 crops (F, Ho, Wo, 3) and a bool (F,) mask of faces whose
+            transform was estimable.
+        """
+        k = face_lm.shape[0] // images.shape[0]
+        lm = jnp.take(face_lm, sel_idx, axis=0)
+        estimate = estimate_affine if self.allow_skew else estimate_similarity
+        mats, ok = estimate(lm, self.target)
+        img_idx = (sel_idx // k).astype(jnp.int32)
+        crops = warp_affine_batch(
+            images, mats, img_idx, self.output_size, self.border_mode
+        )
+        return jnp.clip(jnp.rint(crops), 0, 255).astype(jnp.uint8), ok
+
+    def _empty_result(self, return_device_crops: bool):
+        empty = np.zeros((0,) + self.output_size[::-1] + (3,), np.uint8)
+        lm0 = np.zeros((0, 5, 2), np.float32)
+        idx0 = np.zeros((0,), np.int64)
+        return (empty, lm0, idx0, None) if return_device_crops else (empty, lm0, idx0)
+
+    @staticmethod
+    def _pow2_bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def _finish_enhanced(
+        self, out, imgs, src_hw, interim_size, valid_n, return_device_crops
+    ):
+        """Gate → SR → crop for the enhancement-active fused path.
+
+        Reference semantics (cropper.py:833-843 + rrdb.py:83-146): the gate
+        compares each image's mean face factor — measured in interim
+        coordinates against the padded interim area — to the threshold;
+        gated images are super-resolved at interim resolution and their
+        crops sample the *enhanced* pixels.  Non-gated images keep this
+        pipeline's quality advantage and crop from the original-resolution
+        sources.  All pixel traffic (interim batch, SR input/output) stays
+        on device; only landmarks, masks and final crops cross to the host.
+        """
+        from .models.enhancement import mean_face_factor
+        from .ops.warp import to_uint8
+
+        dev_face_lm, dev_valid, _caps, dev_interim = out
+        iw, ih = interim_size
+        k = dev_face_lm.shape[0] // imgs.shape[0]
+        valid = np.asarray(dev_valid)[: valid_n * k]
+        keep = np.nonzero(valid)[0]
+        if len(keep) == 0:
+            return self._empty_result(return_device_crops)
+
+        face_lm = np.asarray(dev_face_lm)[keep]  # (F, 5, 2) source coords
+        indices = (keep // k).astype(np.int64)
+
+        # Gate in interim coordinates (padding offsets cancel in the
+        # landmark extents; the area is the full padded interim, matching
+        # the reference's images[0].shape quirk).
+        scale, pad = interim_geometry(src_hw[0], src_hw[1], interim_size)
+        factors = mean_face_factor(
+            face_lm * scale, indices.tolist(), valid_n, (ih, iw)
+        )
+        gated = np.asarray(
+            [
+                i
+                for i in range(valid_n)
+                if np.isfinite(factors[i]) and factors[i] <= self.enh.min_face_factor
+            ],
+            np.int64,
+        )
+        is_gated = np.isin(indices, gated)
+
+        crops_all = np.empty(
+            (len(keep),) + self.output_size[::-1] + (3,), np.uint8
+        )
+        ok_all = np.zeros(len(keep), bool)
+        dev_handle = None
+
+        plain_pos = np.nonzero(~is_gated)[0]
+        if len(plain_pos):
+            sel = np.full(
+                self._pow2_bucket(len(plain_pos)), keep[plain_pos[-1]], np.int32
+            )
+            sel[: len(plain_pos)] = keep[plain_pos]
+            dev_crops, dev_ok = self._crop_selected(
+                imgs, dev_face_lm, jnp.asarray(sel)
+            )
+            crops_all[plain_pos] = np.asarray(dev_crops)[: len(plain_pos)]
+            ok_all[plain_pos] = np.asarray(dev_ok)[: len(plain_pos)]
+            if len(plain_pos) == len(keep):
+                dev_handle = dev_crops
+
+        gated_pos = np.nonzero(is_gated)[0]
+        if len(gated_pos):
+            # SR the gated interim rows on device (sub-batched inside).
+            dev_gated = jnp.take(dev_interim, jnp.asarray(gated), axis=0)
+            enhanced = self.enh.enhance_device(dev_gated)
+
+            # Warp gated faces out of the enhanced interim: matrices from
+            # interim-unpadded landmark coords, sampling windowed to the
+            # un-padded region.
+            lm_interim = face_lm[gated_pos] * scale
+            estimate = estimate_affine if self.allow_skew else estimate_similarity
+            f = len(gated_pos)
+            fb = self._pow2_bucket(f)
+            lm_pad = np.concatenate(
+                [lm_interim, np.tile(lm_interim[-1:], (fb - f, 1, 1))]
+            ).astype(np.float32)
+            mats, ok_g = (np.asarray(a) for a in estimate(lm_pad, np.asarray(self.target)))
+
+            local_of_img = {int(g): j for j, g in enumerate(gated)}
+            local_idx = np.fromiter(
+                (local_of_img[int(indices[p])] for p in gated_pos),
+                np.int32,
+                count=f,
+            )
+            local_idx = np.concatenate(
+                [local_idx, np.full(fb - f, local_idx[-1], np.int32)]
+            )
+            t, _b, l, _r = pad
+            hh, ww = ih - pad[0] - pad[1], iw - pad[2] - pad[3]
+            windows = np.tile(
+                np.array([t, l, hh, ww], np.int32), (fb, 1)
+            )
+            out_g = warp_affine_batch(
+                enhanced,
+                mats.astype(np.float32),
+                local_idx,
+                self.output_size,
+                self.border_mode,
+                windows,
+            )
+            crops_all[gated_pos] = np.asarray(to_uint8(out_g))[:f]
+            ok_all[gated_pos] = ok_g[:f]
+
+        crops = crops_all[ok_all]
+        face_lm = face_lm[ok_all]
+        indices = indices[ok_all]
+        if not return_device_crops:
+            return crops, face_lm, indices
+        if dev_handle is not None and not ok_all.all():
+            dev_handle = None
+        return crops, face_lm, indices, dev_handle
 
     def process(
         self,
@@ -209,7 +456,15 @@ class FusedPipeline:
             Compacted uint8 crops (F, Ho, Wo, 3), float32 landmarks
             (F, 5, 2) in source coordinates, and face→image indices (F,);
             with ``return_device_crops`` a 4th element: the device crop
-            array of bucketed length F' >= F (rows beyond F are padding).
+            array of bucketed length F' >= F (rows beyond F are padding),
+            or None when no device handle is available.
+
+        Execution strategy: for "best"/"largest" (one face slot per image)
+        a single program detects and warps in one dispatch.  For "all" the
+        (N, max_faces) face grid is sparse, so a detect-only program
+        returns landmarks + masks, the host compacts once, and a second
+        program warps exactly the kept faces from the still-device-resident
+        images — two dispatches, no wasted warps, no image re-upload.
         """
         n = images.shape[0]
         iw, ih = interim_size
@@ -224,14 +479,25 @@ class FusedPipeline:
             if self.device is not None:
                 imgs = jax.device_put(imgs, self.device)
 
+        # Two-program compaction needs arbitrary cross-image gathers, which
+        # would force collectives on a sharded batch — mesh runs stay on the
+        # single-program path.
+        enhanced = self.enh is not None and self.mesh is None
+        two_program = self.det.strategy == "all" and self.mesh is None
+        if enhanced:
+            run = self._run_detect_interim
+        elif two_program:
+            run = self._run_detect
+        else:
+            run = self._run
+
         from .ops.anchors import anchor_grid as _grid
 
         n_anchors = len(_grid(ih, iw))
         args = self.det._detect_args()
         while True:
-            dev_crops, face_lm, valid, caps = self._run(
-                self.det.params, imgs, ih, iw, **args
-            )
+            out = run(self.det.params, imgs, ih, iw, **args)
+            caps = out[-1]
             grown = self.det.grown_args(
                 np.asarray(caps)[:valid_n], args, n_anchors
             )
@@ -240,7 +506,54 @@ class FusedPipeline:
             args = grown
             self.det.pre_topk = args["pre_topk"]
             self.det.max_faces = args["max_faces"]
-        for arr in (dev_crops, face_lm, valid):
+
+        if enhanced:
+            return self._finish_enhanced(
+                out, imgs, images.shape[1:3], (iw, ih), valid_n,
+                return_device_crops,
+            )
+
+        if two_program:
+            dev_face_lm, dev_valid = out[0], out[1]
+            k = dev_face_lm.shape[0] // imgs.shape[0]
+            valid = np.asarray(dev_valid)[: valid_n * k]
+            keep = np.nonzero(valid)[0]
+            if len(keep) == 0:
+                empty = np.zeros((0,) + self.output_size[::-1] + (3,), np.uint8)
+                lm0 = np.zeros((0, 5, 2), np.float32)
+                idx0 = np.zeros((0,), np.int64)
+                return (empty, lm0, idx0, None) if return_device_crops else (
+                    empty, lm0, idx0)
+
+            # Pad the kept set to a power-of-two bucket (bounded program
+            # count); padding rows repeat the last kept slot and are
+            # dropped below.
+            bucket = 1
+            while bucket < len(keep):
+                bucket *= 2
+            sel = np.full(bucket, keep[-1], np.int32)
+            sel[: len(keep)] = keep
+            dev_crops, dev_ok = self._crop_selected(
+                imgs, dev_face_lm, jnp.asarray(sel)
+            )
+            for arr in (dev_crops, dev_ok, dev_face_lm):
+                try:
+                    arr.copy_to_host_async()
+                except (AttributeError, RuntimeError):  # pragma: no cover
+                    pass
+            ok = np.asarray(dev_ok)[: len(keep)]
+            crops = np.asarray(dev_crops)[: len(keep)][ok]
+            face_lm = np.asarray(dev_face_lm)[keep][ok]
+            indices = (keep[ok] // k).astype(np.int64)
+            if not return_device_crops:
+                return crops, face_lm, indices
+            # The crop program's output is already compacted; hand it to the
+            # parser unless degenerate transforms punched holes in it (rare).
+            dev_compact = dev_crops if ok.all() else None
+            return crops, face_lm, indices, dev_compact
+
+        dev_crops, face_lm, dev_valid = out[0], out[1], out[2]
+        for arr in (dev_crops, face_lm, dev_valid):
             # Start device→host copies eagerly so they overlap with other
             # in-flight batches (np.asarray below then completes them).
             try:
@@ -248,10 +561,10 @@ class FusedPipeline:
             except (AttributeError, RuntimeError):  # pragma: no cover
                 pass
 
-        k = valid.shape[0] // imgs.shape[0]
+        k = dev_valid.shape[0] // imgs.shape[0]
         crops = np.asarray(dev_crops)[: valid_n * k]
         face_lm = np.asarray(face_lm)[: valid_n * k]
-        valid = np.asarray(valid)[: valid_n * k]
+        valid = np.asarray(dev_valid)[: valid_n * k]
 
         keep = np.nonzero(valid)[0]
         indices = (keep // k).astype(np.int64)

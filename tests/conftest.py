@@ -18,6 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# No network in CI: never attempt the upstream checkpoint download (tests
+# that exercise the download path re-enable it with a file:// URL).
+os.environ.setdefault("FCPT_NO_DOWNLOAD", "1")
 
 import jax  # noqa: E402
 

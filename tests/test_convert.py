@@ -103,6 +103,7 @@ def _small_pth(path):
 
 
 def test_download_pth_file_url(tmp_path, monkeypatch):
+    monkeypatch.setenv("FCPT_NO_DOWNLOAD", "0")
     from face_crop_plus_tpu.models.weights import download_pth
 
     srv = tmp_path / "srv"
@@ -122,6 +123,7 @@ def test_download_pth_file_url(tmp_path, monkeypatch):
 
 
 def test_find_weights_auto_downloads_and_converts(tmp_path, monkeypatch):
+    monkeypatch.setenv("FCPT_NO_DOWNLOAD", "0")
     from face_crop_plus_tpu.models.weights import find_weights
 
     srv = tmp_path / "srv"
@@ -151,6 +153,7 @@ def test_download_disabled_by_env(tmp_path, monkeypatch):
 
 
 def test_download_failure_is_soft(tmp_path, monkeypatch):
+    monkeypatch.setenv("FCPT_NO_DOWNLOAD", "0")
     import warnings as _warnings
 
     from face_crop_plus_tpu.models.weights import download_pth, load_or_init

@@ -1,0 +1,112 @@
+"""Fused enhancement path: detect→gate→SR→crop with device-resident pixels.
+
+Round 1 forced any enhancement-active config onto the staged path (extra
+host round trips).  Round 2 fuses it: the detect program also emits the
+device-resident interim batch, the host routes the gated subset, SR runs on
+device, and gated crops sample the enhanced pixels.  These tests pin
+equivalence with the staged path and the gate's routing.
+"""
+
+import os
+import warnings
+
+import numpy as np
+import pytest
+
+from face_crop_plus_tpu import Cropper
+from face_crop_plus_tpu.utils.io import imwrite
+
+SRC_HW = (96, 128)  # (h, w); resize_size == source dims → interim == source
+
+
+def _make_cropper(enh_threshold, **overrides):
+    kwargs = dict(
+        output_size=32,
+        resize_size=(SRC_HW[1], SRC_HW[0]),  # (w, h)
+        strategy="best",
+        det_threshold=-1.0,  # random weights: keep a face per image
+        enh_threshold=enh_threshold,
+        batch_size=3,
+        device="cpu",
+    )
+    kwargs.update(overrides)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        c = Cropper(**kwargs)
+    if c.enh_model is not None:
+        c.enh_model.num_blocks = 2  # keep CPU test fast
+    c.det_model.auto_grow = False
+    c.det_model._cap_warned = True
+    return c
+
+
+@pytest.fixture()
+def image_dir(tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        imwrite(str(d / f"f{i}.png"), rng.integers(0, 255, SRC_HW + (3,), dtype=np.uint8))
+    return str(d)
+
+
+def test_fused_pipeline_built_with_enhancer(image_dir):
+    c = _make_cropper(enh_threshold=1.0)
+    assert c._fused is not None and c._fused.enh is c.enh_model
+
+
+def test_fused_enhanced_matches_staged(tmp_path, image_dir):
+    # All images gated (threshold 1.0): crops sample SR'd interim pixels on
+    # both paths; with resize_size == source dims the interim batches are
+    # bit-identical, so outputs must agree to rounding.
+    staged = _make_cropper(1.0, max_fused_shapes=0, output_format="png")
+    out_s = str(tmp_path / "staged")
+    staged.process_dir(image_dir, out_s, desc=None)
+
+    fused = _make_cropper(1.0, output_format="png")
+    out_f = str(tmp_path / "fused")
+    fused.process_dir(image_dir, out_f, desc=None)
+    assert len(fused._fused_shapes) == 1  # fused path actually engaged
+
+    names = sorted(os.listdir(out_s))
+    assert names == sorted(os.listdir(out_f)) and len(names) == 3
+
+    import cv2
+
+    for name in names:
+        a = cv2.imread(os.path.join(out_s, name))
+        b = cv2.imread(os.path.join(out_f, name))
+        d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert d.mean() < 1.0, f"{name}: mean {d.mean():.3f}"
+
+
+def test_fused_enhancer_gate_noop_matches_plain(tmp_path, image_dir):
+    # Threshold 0.0: no image's (positive) face factor can gate → SR never
+    # runs; outputs must equal the enhancement-free fused pipeline's.
+    enh_off = _make_cropper(None, output_format="png")
+    out_off = str(tmp_path / "off")
+    enh_off.process_dir(image_dir, out_off, desc=None)
+
+    enh_noop = _make_cropper(0.0, output_format="png")
+    out_noop = str(tmp_path / "noop")
+    enh_noop.process_dir(image_dir, out_noop, desc=None)
+    assert len(enh_noop._fused_shapes) == 1
+
+    import cv2
+
+    names = sorted(os.listdir(out_off))
+    assert names == sorted(os.listdir(out_noop)) and len(names) == 3
+    for name in names:
+        a = cv2.imread(os.path.join(out_off, name))
+        b = cv2.imread(os.path.join(out_noop, name))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fused_enhanced_serving_api(image_dir):
+    from face_crop_plus_tpu.utils.io import imread_rgb
+
+    c = _make_cropper(1.0)
+    imgs = [imread_rgb(os.path.join(image_dir, f)) for f in sorted(os.listdir(image_dir))]
+    # Warm the shape-admission heuristic, then serve.
+    crops, idx, groups = c.process_images(imgs)
+    assert crops.shape == (3, 32, 32, 3) and list(idx) == [0, 1, 2]
