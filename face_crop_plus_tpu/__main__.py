@@ -87,6 +87,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-w", "--weights-dir", type=str, default=None,
                    help="Directory with converted model weights (.npz or the "
                         "reference .pth files).")
+    p.add_argument("-si", "--shard-index", type=str, default=None,
+                   help="Multi-host file sharding: this process's shard "
+                        "index (int), or 'auto' to derive shard index and "
+                        "count from the JAX process topology "
+                        "(jax.process_index/process_count).")
+    p.add_argument("-ns", "--num-shards", type=int, default=None,
+                   help="Multi-host file sharding: total number of shards "
+                        "(each host processes files[shard_index::num_shards]).")
     return p
 
 
@@ -125,6 +133,14 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
             kwargs[key] = None
 
     kwargs["auto_grow"] = not kwargs.pop("no_auto_grow")
+
+    if kwargs.get("shard_index") == "auto":
+        from .parallel import host_shard, init_distributed
+
+        init_distributed()
+        kwargs["shard_index"], kwargs["num_shards"] = host_shard()
+    elif kwargs.get("shard_index") is not None:
+        kwargs["shard_index"] = int(kwargs["shard_index"])
     return kwargs
 
 
@@ -147,8 +163,13 @@ def main(argv: list[str] | None = None):
         output_dir = input_dir + "_faces" if output_dir is None else output_dir
         input_dir += "_temp"
 
+    shard_index = kwargs.pop("shard_index", None)
+    num_shards = kwargs.pop("num_shards", None)
+
     cropper = Cropper(**kwargs)
-    cropper.process_dir(input_dir, output_dir)
+    cropper.process_dir(
+        input_dir, output_dir, shard_index=shard_index, num_shards=num_shards
+    )
 
     if needs_clean and not is_inplace:
         shutil.rmtree(input_dir)

@@ -1,3 +1,4 @@
+from .distributed import host_shard, init_distributed
 from .mesh import (
     DATA_AXIS,
     batch_sharding,
@@ -11,6 +12,8 @@ from .mesh import (
 __all__ = [
     "DATA_AXIS",
     "batch_sharding",
+    "host_shard",
+    "init_distributed",
     "make_mesh",
     "pad_to_multiple",
     "replicated",
