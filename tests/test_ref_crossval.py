@@ -397,3 +397,59 @@ def test_as_batch_geometry_matches_reference(rng, size):
     np.testing.assert_allclose(our_unscales, np.asarray(ref_unscales), rtol=1e-6)
     assert our_batch.shape == tuple(ref_batch.shape)
     np.testing.assert_array_equal(our_batch, np.asarray(ref_batch))
+
+
+# ---------------------------------------------------------------------------
+# NMS + strategy selection vs the reference's filter_preds/take_by_strategy
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("strategy", ["all", "best", "largest"])
+def test_select_faces_matches_reference_nms(rng, strategy):
+    """select_faces vs the reference's own NMS loop + strategy selection.
+
+    ``filter_preds``/``take_by_strategy`` only touch threshold/strategy
+    attributes, so the real reference code runs against a stub ``self`` —
+    no torchvision-backed construction needed.
+    """
+    from types import SimpleNamespace
+
+    from face_crop_plus.models.retinaface import RetinaFace as RefRF
+
+    from face_crop_plus_tpu.ops.nms import select_faces
+
+    n, a = 4, 64
+    scores = rng.uniform(0, 1, (n, a)).astype(np.float32)
+    centers = rng.uniform(40, 460, (n, a, 2)).astype(np.float32)
+    sizes = rng.uniform(10, 120, (n, a, 2)).astype(np.float32)
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], -1)
+    landms = rng.uniform(0, 512, (n, a, 10)).astype(np.float32)
+
+    stub = SimpleNamespace(vis_threshold=0.3, nms_threshold=0.4, strategy=strategy)
+    ref_landms, ref_boxes, ref_idx = RefRF.filter_preds(
+        stub,
+        torch.from_numpy(scores),
+        torch.from_numpy(boxes),
+        torch.from_numpy(landms),
+    )
+    ref_lm, ref_indices = RefRF.take_by_strategy(
+        stub, ref_landms, ref_boxes, ref_idx
+    )
+    ref_lm = ref_lm.numpy()
+
+    sel, valid, _caps = select_faces(
+        jnp.asarray(scores),
+        jnp.asarray(boxes),
+        jnp.asarray(landms),
+        vis_threshold=0.3,
+        nms_threshold=0.4,
+        pre_topk=a,
+        max_faces=a,
+        strategy=strategy,
+    )
+    sel, valid = np.asarray(sel), np.asarray(valid)
+    img_idx, face_idx = np.nonzero(valid)
+    our_lm = sel[img_idx, face_idx]
+
+    assert list(img_idx) == list(ref_indices)
+    np.testing.assert_allclose(our_lm, ref_lm, atol=1e-5)
