@@ -15,9 +15,16 @@ TPU-first structure:
 * SR + bicubic x0.25 undo + clamp/round run as one fused jitted program per
   (batch, H, W) bucket.  The x0.25 undo is an exact 4-tap stride-4 filter
   (see :func:`face_crop_plus_tpu.ops.nn.downscale4x_bicubic`).
-* bfloat16 trunk compute; the trunk runs at input resolution (or half
-  resolution with 4x channels when ``use_s2d=True`` — see ``ops/s2d.py``)
-  and only the tail runs at 4x, NHWC throughout.
+* bfloat16 trunk compute; only the tail runs at 4x, NHWC throughout.
+* On TPU the trunk executes in **W-only space-to-depth, source-grouped**
+  form (``trunk_mode="auto"`` → ``"ws2d"``): the plain trunk's 32/64-channel
+  intermediates tile to the 128-lane HBM layout at 4x/2x read+write
+  amplification, which is what its runtime is bound by (measured — see
+  STATUS.md lever table); W-s2d doubles every channel count so activations
+  pack exactly, and source-grouping turns the five narrow dense-block convs
+  into five wide ones.  Exact (not approximate), 1.75x the plain trunk at
+  512² on v5e.  ``trunk_mode="s2d"``/``use_s2d=True`` keeps the full
+  transform available for study (see ``ops/s2d.py``).
 * ``jax.checkpoint`` is unnecessary (inference-only), but sub-batching
   (default 1 image at a time, like the reference) bounds activation memory:
   at 1024² the 4x tail alone holds ~0.4 GB in bf16.
@@ -34,7 +41,15 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.nn import Params, conv2d, downscale4x_bicubic, leaky_relu, upsample2x_nearest
-from ..ops.s2d import depth_to_space, space_to_depth, transform_conv_params
+from ..ops.s2d import (
+    depth_to_space,
+    depth_to_space_w,
+    s2dw_bias,
+    s2dw_conv_weight,
+    space_to_depth,
+    space_to_depth_w,
+    transform_conv_params,
+)
 from .weights import load_or_init
 
 _NF = 64  # trunk width
@@ -83,6 +98,112 @@ def rrdbnet_forward(p: Params, x: jnp.ndarray, num_blocks: int = _NUM_BLOCKS) ->
     for i in range(num_blocks):
         t = _rrdb(p, f"RRDB_trunk.{i}", t)
     fea = fea0 + conv2d(p, "trunk_conv", t, _NF, bias=True)
+    return _tail(p, fea)
+
+
+def make_ws2d_grouped_trunk_params(params: dict, num_blocks: int) -> dict:
+    """Host-side trunk-weight transform for the production TPU trunk.
+
+    Two exact rewrites composed (measured on TPU v5e at 512², see
+    STATUS.md; each is value-preserving up to float reassociation):
+
+    1. **W-only space-to-depth** (:func:`..ops.s2d.s2dw_conv_weight`):
+       doubles every channel count so activations pack the 128-lane HBM
+       tile exactly — the plain trunk's 32/64-channel intermediates tile to
+       128 lanes and pay 4x/2x read+write amplification, which is what the
+       trunk's runtime is actually bound by — at 2x nominal FLOPs.
+    2. **Source-grouping**: a dense block's stage ``i`` conv over the
+       growing concat splits as ``conv_i(concat) = Σ_j conv_i^{(j)}(x_j)``;
+       regrouping by source ``j`` turns 5 narrow convs (32-out) into 5 wide
+       ones (outputs 384/320/256/192/128 after the W-s2d doubling).
+
+    Returns keys ``RRDB_trunk.N.RDBd.srcJ.weight`` (one per source tensor)
+    and doubled biases under the original bias names, plus the transformed
+    ``trunk_conv`` pair.  Equivalent reference computation:
+    ``src/face_crop_plus/models/rrdb.py:12-61`` (ResidualDenseBlock_5C /
+    RRDB modules).
+    """
+    out = {}
+    for i in range(num_blocks):
+        for d in (1, 2, 3):
+            name = f"RRDB_trunk.{i}.RDB{d}"
+            ws = [
+                s2dw_conv_weight(np.asarray(params[f"{name}.conv{k}.weight"]))
+                for k in range(1, 6)
+            ]
+            for j in range(5):
+                lo = 2 * (_NF + (j - 1) * _GC) if j >= 1 else 0
+                hi = lo + 2 * (_GC if j >= 1 else _NF)
+                parts = [
+                    ws[k][:, :, lo:hi, :] for k in range(j, 5) if ws[k].shape[2] > lo
+                ]
+                out[f"{name}.src{j}.weight"] = (
+                    np.concatenate(parts, axis=3) if len(parts) > 1 else parts[0]
+                )
+            for k in range(1, 6):
+                out[f"{name}.conv{k}.bias"] = s2dw_bias(
+                    np.asarray(params[f"{name}.conv{k}.bias"])
+                )
+    out["trunk_conv.weight"] = s2dw_conv_weight(np.asarray(params["trunk_conv.weight"]))
+    out["trunk_conv.bias"] = s2dw_bias(np.asarray(params["trunk_conv.bias"]))
+    return out
+
+
+def _dense_block_ws2d(p: Params, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    """Source-grouped dense block on W-s2d activations (N, H, W/2, 128).
+
+    ``cJ = conv(x_J, srcJ)`` holds x_J's contributions to every later
+    stage, laid out ``[next stage | ... | stage 5]``; each stage sums the
+    slices that target it, adds its (doubled) bias, and applies leaky-relu.
+    """
+    gc2 = 2 * _GC
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv(inp, w):
+        return jax.lax.conv_general_dilated(
+            inp, w.astype(inp.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+        )
+
+    g = [p.get(f"{name}.src{j}.weight", (), "zeros") for j in range(5)]
+    b = [p.get(f"{name}.conv{k}.bias", (), "zeros").astype(jnp.float32)
+         for k in range(1, 6)]
+    c0 = conv(x, g[0])
+    x1 = leaky_relu((c0[..., :gc2] + b[0]).astype(x.dtype), _SLOPE)
+    c1 = conv(x1, g[1])
+    x2 = leaky_relu(
+        (c0[..., gc2:2 * gc2] + c1[..., :gc2] + b[1]).astype(x.dtype), _SLOPE)
+    c2 = conv(x2, g[2])
+    x3 = leaky_relu(
+        (c0[..., 2 * gc2:3 * gc2] + c1[..., gc2:2 * gc2] + c2[..., :gc2]
+         + b[2]).astype(x.dtype), _SLOPE)
+    c3 = conv(x3, g[3])
+    x4 = leaky_relu(
+        (c0[..., 3 * gc2:4 * gc2] + c1[..., 2 * gc2:3 * gc2]
+         + c2[..., gc2:2 * gc2] + c3[..., :gc2] + b[3]).astype(x.dtype), _SLOPE)
+    c4 = conv(x4, g[4])
+    x5 = (c0[..., 4 * gc2:] + c1[..., 3 * gc2:] + c2[..., 2 * gc2:]
+          + c3[..., gc2:] + c4 + b[4]).astype(x.dtype)
+    return x5 * jnp.asarray(0.2, x.dtype) + x
+
+
+def rrdbnet_forward_ws2d(
+    p: Params, p_ws2d: Params, x: jnp.ndarray, num_blocks: int = _NUM_BLOCKS
+) -> jnp.ndarray:
+    """RRDBNet forward with the trunk in W-s2d source-grouped form (even W).
+
+    Mathematically identical to :func:`rrdbnet_forward`; the production TPU
+    path (measured 1.75x the plain trunk at 512², see STATUS.md).
+    """
+    fea0 = conv2d(p, "conv_first", x, _NF, bias=True)
+    t = space_to_depth_w(fea0)
+    for i in range(num_blocks):
+        name = f"RRDB_trunk.{i}"
+        out = t
+        for d in (1, 2, 3):
+            out = _dense_block_ws2d(p_ws2d, f"{name}.RDB{d}", out)
+        t = out * jnp.asarray(0.2, x.dtype) + t
+    fea = fea0 + depth_to_space_w(conv2d(p_ws2d, "trunk_conv", t, _NF * 2, bias=True))
     return _tail(p, fea)
 
 
@@ -141,25 +262,39 @@ class RRDBNet:
         mesh=None,
         compute_dtype=None,
         num_blocks: int = _NUM_BLOCKS,
-        # Off by default: measured on TPU v5e at 512² (23 blocks, bf16) the
-        # s2d trunk sustains ~4x the MXU FLOP/s of the plain trunk (60 vs 15
-        # TF/s) but identical wall time — runtime is not bound by the conv
-        # output width (see ops/s2d.py) — while costing a one-time weight
-        # transform and a longer compile.
+        # Deprecated alias for trunk_mode="s2d": measured on TPU v5e at 512²
+        # (23 blocks, bf16) the full-s2d trunk sustains ~4x the MXU FLOP/s of
+        # the plain trunk (60 vs 15 TF/s) but identical wall time — the 4x
+        # FLOP inflation exactly pays for the packing gain (see ops/s2d.py).
         use_s2d: bool = False,
+        # Trunk execution strategy: "plain" (direct translation of the conv
+        # stack), "ws2d" (W-only space-to-depth + source-grouped dense
+        # blocks — measured 1.75x plain on TPU v5e at 512²; needs even W),
+        # "s2d" (full transform, kept for study), or "auto" (ws2d on TPU,
+        # plain elsewhere).  All modes are exact up to float reassociation.
+        trunk_mode: str = "auto",
     ):
         self.min_face_factor = float(min_face_factor)
         self.enh_batch_size = int(enh_batch_size)
         self.device = device
         self.mesh = mesh
         self.num_blocks = int(num_blocks)
-        self.use_s2d = bool(use_s2d)
         self._params_s2d = None
+        self._params_ws2d = None
 
+        platform = (device or jax.devices()[0]).platform
         if compute_dtype is None:
-            platform = (device or jax.devices()[0]).platform
             compute_dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
         self.compute_dtype = compute_dtype
+
+        if use_s2d:
+            trunk_mode = "s2d"
+        elif trunk_mode == "auto":
+            trunk_mode = "ws2d" if platform == "tpu" else "plain"
+        if trunk_mode not in ("plain", "ws2d", "s2d"):
+            raise ValueError(f"unknown trunk_mode: {trunk_mode!r}")
+        self.trunk_mode = trunk_mode
+        self.use_s2d = trunk_mode == "s2d"  # kept for backward compatibility
 
         if mesh is not None:
             # SR sub-batches must split evenly over the data axis.
@@ -215,6 +350,40 @@ class RRDBNet:
             lambda x: rrdbnet_forward_s2d(p, ps, x, self.num_blocks), images
         )
 
+    @partial(jax.jit, static_argnames=("self",))
+    def _enhance_ws2d(
+        self, params: dict, params_ws2d: dict, images: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Same contract as :meth:`_enhance`, trunk in W-s2d grouped form."""
+        p, ps = Params(params), Params(params_ws2d)
+        return self._sr_uint8(
+            lambda x: rrdbnet_forward_ws2d(p, ps, x, self.num_blocks), images
+        )
+
+    def _ws2d_params(self) -> dict:
+        """Transformed+grouped trunk weights, built once on first even-W
+        batch (compute-dtype storage; ~4x the plain trunk's parameter bytes
+        at bf16, i.e. ~128 MB for the full 23-block network)."""
+        if self._params_ws2d is None:
+            host = {
+                k: np.asarray(v)
+                for k, v in self.params.items()
+                if k.startswith(("trunk_conv.", "RRDB_trunk."))
+            }
+            data = make_ws2d_grouped_trunk_params(host, self.num_blocks)
+            params = {
+                k: jnp.asarray(v, jnp.float32 if k.endswith(".bias") else self.compute_dtype)
+                for k, v in data.items()
+            }
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_params
+
+                params = shard_params(params, self.mesh)
+            elif self.device is not None:
+                params = jax.device_put(params, self.device)
+            self._params_ws2d = params
+        return self._params_ws2d
+
     def _s2d_params(self) -> dict:
         """Transformed trunk weights, built once on first even-shape batch.
 
@@ -241,9 +410,25 @@ class RRDBNet:
             self._params_s2d = params
         return self._params_s2d
 
+    def _run_sr(self, imgs: jnp.ndarray, mode: str) -> jnp.ndarray:
+        if mode == "ws2d":
+            return self._enhance_ws2d(self.params, self._ws2d_params(), imgs)
+        if mode == "s2d":
+            return self._enhance_s2d(self.params, self._s2d_params(), imgs)
+        return self._enhance(self.params, imgs)
+
+    def _mode_for_shape(self, h: int, w: int) -> str:
+        """Resolves the trunk mode against the batch's shape constraints
+        (ws2d needs even W; full s2d needs both dims even)."""
+        if self.trunk_mode == "ws2d" and w % 2 == 0:
+            return "ws2d"
+        if self.trunk_mode == "s2d" and h % 2 == 0 and w % 2 == 0:
+            return "s2d"
+        return "plain"
+
     def enhance_images(self, images: np.ndarray) -> np.ndarray:
         """Enhances a uniform uint8 batch in fixed-size sub-batches."""
-        s2d = self.use_s2d and images.shape[1] % 2 == 0 and images.shape[2] % 2 == 0
+        mode = self._mode_for_shape(images.shape[1], images.shape[2])
         out = np.array(images, copy=True)
         bs = self.enh_batch_size
         for start in range(0, len(images), bs):
@@ -261,10 +446,7 @@ class RRDBNet:
                 imgs = jnp.asarray(chunk)
                 if self.device is not None:
                     imgs = jax.device_put(imgs, self.device)
-            if s2d:
-                res = self._enhance_s2d(self.params, self._s2d_params(), imgs)
-            else:
-                res = self._enhance(self.params, imgs)
+            res = self._run_sr(imgs, mode)
             out[start : start + valid] = np.asarray(res)[:valid]
         return out
 
@@ -276,7 +458,7 @@ class RRDBNet:
         SR program; a short tail sub-batch repeats its last row (padding
         rows are sliced off before returning).
         """
-        s2d = self.use_s2d and images.shape[1] % 2 == 0 and images.shape[2] % 2 == 0
+        mode = self._mode_for_shape(images.shape[1], images.shape[2])
         n, bs = images.shape[0], self.enh_batch_size
         outs = []
         for start in range(0, n, bs):
@@ -286,10 +468,7 @@ class RRDBNet:
                 if (start == 0 and bs >= n and n == bs)
                 else jnp.take(images, jnp.asarray(idx), axis=0)
             )
-            if s2d:
-                res = self._enhance_s2d(self.params, self._s2d_params(), chunk)
-            else:
-                res = self._enhance(self.params, chunk)
+            res = self._run_sr(chunk, mode)
             outs.append(res[: min(bs, n - start)])
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 

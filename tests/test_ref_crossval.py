@@ -111,7 +111,9 @@ def test_rrdbnet_real_reference_predict_crossval(rng):
     ours.mesh = None
     ours.num_blocks = 23
     ours.use_s2d = False
+    ours.trunk_mode = "plain"
     ours._params_s2d = None
+    ours._params_ws2d = None
     ours.compute_dtype = jnp.float32
     ours.params = {
         k: jnp.asarray(v) for k, v in convert_state_dict(tm.state_dict()).items()
