@@ -135,23 +135,34 @@ def measure(device_str: str, n_images: int) -> float:
 
     data_dir = make_dataset(n_images)
     out_dir = data_dir + "_out"
-    passes = 3 if device_str != "cpu" else 1
-    fps = 0.0
+    passes = int(os.environ.get("FCPT_BENCH_PASSES", "5" if device_str != "cpu" else "1"))
+    fps_list = []
+    prev = {k: dict(v) for k, v in cropper.stats.as_dict().items()}
     for p in range(passes):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         cropper.process_dir(data_dir, out_dir, desc=None)
         dt = time.perf_counter() - t0
         faces = len(os.listdir(out_dir))
-        # Report the best pass: the chip is time-shared in some dev
-        # environments, and noisy-neighbor stalls only subtract.
-        fps = max(fps, faces / dt)
+        fps_list.append(round(faces / dt, 2))
+        cur = {k: dict(v) for k, v in cropper.stats.as_dict().items()}
+        stages = "  ".join(
+            f"{k}={cur[k]['seconds'] - prev.get(k, {}).get('seconds', 0.0):.2f}s"
+            for k in sorted(cur)
+        )
+        prev = cur
         log(f"[{device_str}] pass {p}: {faces} faces in {dt:.2f}s "
-            f"-> {faces / dt:.2f} faces/s (e2e)")
+            f"-> {faces / dt:.2f} faces/s (e2e)  [{stages}]")
     log(cropper.stats.report())
 
     for d in (warm_dir, out_warm, data_dir, out_dir):
         shutil.rmtree(d, ignore_errors=True)
+    # Median of N: robust to time-shared-chip noise in either direction
+    # (best-of-N masked a degrading trend in round 1; see STATUS.md).
+    ordered = sorted(fps_list)
+    fps = ordered[passes // 2] if passes % 2 else (
+        (ordered[passes // 2 - 1] + ordered[passes // 2]) / 2)
+    measure.last_passes = fps_list
     return fps
 
 
@@ -198,6 +209,8 @@ def main():
                 "value": round(value, 2),
                 "unit": "faces/sec/chip",
                 "vs_baseline": round(value / base, 2) if base else None,
+                "method": "median of N e2e passes",
+                "passes": getattr(measure, "last_passes", None),
             }
         )
     )

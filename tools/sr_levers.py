@@ -282,6 +282,30 @@ def make_trunk_ws2d(pdata: dict, num_blocks: int, dtype):
     return trunk
 
 
+def make_trunk_ws2d_nongrouped(pdata: dict, num_blocks: int, dtype):
+    """W-s2d transform only (per-destination conv structure kept, m=2):
+    separates how much of the ws2d win comes from channel doubling alone."""
+    from face_crop_plus_tpu.models.enhancement import _rrdb
+    from face_crop_plus_tpu.ops.s2d import s2dw_bias, s2dw_conv_weight
+
+    data = {}
+    for k, v in pdata.items():
+        if not k.startswith(("RRDB_trunk.", "trunk_conv.")):
+            continue
+        arr = np.asarray(v)
+        data[k] = jnp.asarray(
+            s2dw_conv_weight(arr) if k.endswith(".weight") else s2dw_bias(arr), dtype)
+    pt = Params(data)
+
+    def trunk(p: Params, x: jnp.ndarray, nb: int) -> jnp.ndarray:
+        t = s2dw(x)
+        for i in range(nb):
+            t = _rrdb(pt, f"RRDB_trunk.{i}", t, m=2)
+        return d2sw(t)
+
+    return trunk
+
+
 # ---------------------------------------------------------------------------
 # NCHW layout variant (lane dim = spatial width instead of channels)
 # ---------------------------------------------------------------------------
@@ -419,6 +443,9 @@ def main():
         ws2d_trunk = make_trunk_ws2d(p0.data, args.blocks, dtype)
         variants["ws2d b1"] = (ws2d_trunk, 1)
         variants["ws2d b4"] = (ws2d_trunk, 4)
+    if args.variants and "ws2d-ng" in args.variants:
+        variants["ws2d-ng b1"] = (
+            make_trunk_ws2d_nongrouped(p0.data, args.blocks, dtype), 1)
     if args.variants:
         want = [v.strip() for v in args.variants.split(",")]
         variants = {k: v for k, v in variants.items() if k in want}
