@@ -455,3 +455,110 @@ def test_select_faces_matches_reference_nms(rng, strategy):
 
     assert list(img_idx) == list(ref_indices)
     np.testing.assert_allclose(our_lm, ref_lm, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Landmark-file parsing, filename cleaning, CLI argument layering
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fmt", ["txt", "csv"])
+def test_parse_landmarks_file_crossval(tmp_path, fmt):
+    """Same (landmarks, filenames) arrays as reference utils.py:21-88.
+
+    The reference's .json branch is excluded: it calls
+    ``np.array(data.keys())`` on dict views (utils.py:76-77), producing 0-d
+    object arrays that crash the subsequent reshape — our .json parser is
+    covered by tests/test_landmarks.py instead.
+    """
+    from face_crop_plus_tpu.utils.landmarks import parse_landmarks_file
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (f"img_{i:03d}.jpg", rng.integers(0, 200, 10).tolist()) for i in range(7)
+    ]
+    path = str(tmp_path / f"landmarks.{fmt}")
+    with open(path, "w") as f:
+        if fmt == "csv":
+            f.write("images," + ",".join(f"c{j}" for j in range(10)) + "\n")
+            for name, vals in rows:
+                f.write(name + "," + ",".join(map(str, vals)) + "\n")
+        else:
+            for name, vals in rows:
+                f.write(name + " " + " ".join(map(str, vals)) + "\n")
+
+    ref_lm, ref_names = ref.utils.parse_landmarks_file(path)
+    our_lm, our_names = parse_landmarks_file(path)
+
+    np.testing.assert_array_equal(our_names, ref_names)
+    np.testing.assert_array_equal(our_lm, ref_lm)
+    assert our_lm.shape == (7, 5, 2) and our_lm.dtype == np.float32
+
+
+def test_clean_names_crossval(tmp_path):
+    """Copy-mode renaming parity with reference utils.py:344-453 on inputs
+    where the reference is well-behaved (its in-place collision overwrite
+    bug — which we deliberately fix — is not triggered in copy mode with
+    these names)."""
+    from face_crop_plus_tpu.utils.names import clean_names
+
+    names = [
+        "simple.jpg",
+        "with spaces.jpg",
+        "we?ird:ch<ars>.jpg",
+        "UPPER.JPG",
+        "upper.jpg",  # case-insensitive duplicate -> suffixed
+        "multi.dots.in.name.jpg",
+    ]
+    src_a, src_b = tmp_path / "a", tmp_path / "b"
+    for d in (src_a, src_b):
+        d.mkdir()
+        for n in names:
+            (d / n).write_bytes(b"x")
+
+    out_ref, out_our = str(tmp_path / "ref_out"), str(tmp_path / "our_out")
+    ref.utils.clean_names(str(src_a), out_ref, desc=None)
+    clean_names(str(src_b), out_our, desc=None)
+
+    assert sorted(os.listdir(out_our)) == sorted(os.listdir(out_ref))
+
+
+def test_cli_parse_args_crossval(tmp_path, monkeypatch):
+    """Flag surface + JSON-config layering + sentinel parity with the
+    reference ``__main__`` (its parser reads sys.argv directly)."""
+    import importlib
+    import json as _json
+
+    from face_crop_plus_tpu.__main__ import parse_args as our_parse
+
+    config = {
+        "output_size": [200, 160],
+        "det_threshold": 0.55,
+        "attr_groups": {"glasses": [6]},
+    }
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(_json.dumps(config))
+
+    argv = [
+        "-i", str(tmp_path), "-c", str(cfg),
+        "-dt", "-1",            # sentinel: negative -> None (both sides)
+        "-et", "0.01",
+        "-b", "12",
+        "-st", "all",
+        "-ff", "0.8",
+    ]
+
+    ref_main = importlib.import_module("face_crop_plus.__main__")
+    monkeypatch.setattr("sys.argv", ["prog", *argv])
+    ref_kwargs = ref_main.parse_args()
+    our_kwargs = our_parse(argv)
+
+    # Intersection of the two kwarg surfaces, minus device (torch.device vs
+    # JAX platform string by design).
+    for key in set(ref_kwargs) & set(our_kwargs) - {"device"}:
+        assert our_kwargs[key] == ref_kwargs[key], key
+    # The sentinels and config layering resolved identically:
+    assert ref_kwargs["det_threshold"] is None and our_kwargs["det_threshold"] is None
+    assert our_kwargs["enh_threshold"] == ref_kwargs["enh_threshold"] == 0.01
+    assert tuple(our_kwargs["output_size"]) == tuple(ref_kwargs["output_size"])
+    assert our_kwargs["attr_groups"] == ref_kwargs["attr_groups"]
