@@ -95,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-ns", "--num-shards", type=int, default=None,
                    help="Multi-host file sharding: total number of shards "
                         "(each host processes files[shard_index::num_shards]).")
+    p.add_argument("-se", "--skip-existing", action="store_true",
+                   help="Resume an interrupted run: skip source files whose "
+                        "crop already exists in the output directory.")
     return p
 
 
@@ -165,10 +168,15 @@ def main(argv: list[str] | None = None):
 
     shard_index = kwargs.pop("shard_index", None)
     num_shards = kwargs.pop("num_shards", None)
+    skip_existing = kwargs.pop("skip_existing", False)
 
     cropper = Cropper(**kwargs)
     cropper.process_dir(
-        input_dir, output_dir, shard_index=shard_index, num_shards=num_shards
+        input_dir,
+        output_dir,
+        shard_index=shard_index,
+        num_shards=num_shards,
+        skip_existing=skip_existing,
     )
 
     if needs_clean and not is_inplace:

@@ -844,6 +844,7 @@ class Cropper:
         desc: str | None = "Processing",
         shard_index: int | None = None,
         num_shards: int | None = None,
+        skip_existing: bool = False,
     ):
         """Processes a whole directory in file batches.
 
@@ -858,11 +859,24 @@ class Cropper:
         list — pass ``shard_index=jax.process_index()`` and
         ``num_shards=jax.process_count()`` (outputs are distinct files, no
         coordination needed).
+
+        ``skip_existing`` is a cheap resume for interrupted large-dataset
+        runs (the reference has none — re-running re-processes everything):
+        a source file is skipped when the top-level output directory already
+        holds a crop named after it (the plain name, or the first ``_0``
+        occurrence under ``strategy="all"``).  Sources that previously
+        produced *no* output (no face found, unreadable) are re-processed;
+        grouped attr/mask subtrees are not consulted.
         """
         if output_dir is None:
             output_dir = input_dir + "_faces"
 
         files, bs = sorted(os.listdir(input_dir)), self.batch_size
+        if skip_existing and os.path.isdir(output_dir):
+            done = set(os.listdir(output_dir))
+            files = [
+                f for f in files if self._crop_file_name(f, 0) not in done
+            ]
         if num_shards is not None and num_shards > 1:
             files = files[(shard_index or 0) :: num_shards]
         file_batches = [files[i : i + bs] for i in range(0, len(files), bs)]
