@@ -35,7 +35,7 @@ from .ops.anchors import anchor_grid
 from .ops.nms import select_faces
 from .ops.nn import Params, resize_bilinear
 from .ops.transform import estimate_affine, estimate_similarity
-from .ops.warp import warp_affine_batch
+from .ops.warp import to_uint8, warp_affine_batch
 
 
 def interim_geometry(
@@ -306,6 +306,23 @@ class FusedPipeline:
         )
         return jnp.clip(jnp.rint(crops), 0, 255).astype(jnp.uint8), ok
 
+    @partial(jax.jit, static_argnames=("self",))
+    def _crop_gated(self, enhanced, lm_pad, local_idx, window):
+        """Jitted estimate→warp over the enhanced interim batch.
+
+        All inputs arrive bucketed (enhanced rows and faces padded to
+        power-of-two sizes) so only O(log²) programs compile.  ``window``
+        is the (top, left, height, width) un-padded interim region every
+        face samples from.
+        """
+        estimate = estimate_affine if self.allow_skew else estimate_similarity
+        mats, ok = estimate(lm_pad, self.target)
+        windows = jnp.tile(window[None, :], (lm_pad.shape[0], 1))
+        out = warp_affine_batch(
+            enhanced, mats, local_idx, self.output_size, self.border_mode, windows
+        )
+        return to_uint8(out), ok
+
     def _empty_result(self, return_device_crops: bool):
         empty = np.zeros((0,) + self.output_size[::-1] + (3,), np.uint8)
         lm0 = np.zeros((0, 5, 2), np.float32)
@@ -390,19 +407,22 @@ class FusedPipeline:
             dev_gated = jnp.take(dev_interim, jnp.asarray(gated), axis=0)
             enhanced = self.enh.enhance_device(dev_gated)
 
-            # Warp gated faces out of the enhanced interim: matrices from
-            # interim-unpadded landmark coords, sampling windowed to the
-            # un-padded region.
-            lm_interim = face_lm[gated_pos] * scale
-            estimate = estimate_affine if self.allow_skew else estimate_similarity
-            f = len(gated_pos)
-            fb = self._pow2_bucket(f)
+            # Pad the enhanced rows (post-SR, so padding costs no SR work)
+            # and the face list to power-of-two buckets, then run one
+            # jitted estimate→warp program (:meth:`_crop_gated`) — keeping
+            # this off the eager path matters on remote/tunneled devices
+            # where every eager dispatch is a round trip.
+            g, f = len(gated), len(gated_pos)
+            gb, fb = self._pow2_bucket(g), self._pow2_bucket(f)
+            if gb > g:
+                enhanced = jnp.concatenate(
+                    [enhanced, jnp.repeat(enhanced[-1:], gb - g, axis=0)]
+                )
+            lm_interim = (face_lm[gated_pos] * scale).astype(np.float32)
             lm_pad = np.concatenate(
                 [lm_interim, np.tile(lm_interim[-1:], (fb - f, 1, 1))]
-            ).astype(np.float32)
-            mats, ok_g = (np.asarray(a) for a in estimate(lm_pad, np.asarray(self.target)))
-
-            local_of_img = {int(g): j for j, g in enumerate(gated)}
+            )
+            local_of_img = {int(gi): j for j, gi in enumerate(gated)}
             local_idx = np.fromiter(
                 (local_of_img[int(indices[p])] for p in gated_pos),
                 np.int32,
@@ -413,19 +433,15 @@ class FusedPipeline:
             )
             t, _b, l, _r = pad
             hh, ww = ih - pad[0] - pad[1], iw - pad[2] - pad[3]
-            windows = np.tile(
-                np.array([t, l, hh, ww], np.int32), (fb, 1)
-            )
-            out_g = warp_affine_batch(
+            window = np.array([t, l, hh, ww], np.int32)
+            out_g, ok_g = self._crop_gated(
                 enhanced,
-                mats.astype(np.float32),
-                local_idx,
-                self.output_size,
-                self.border_mode,
-                windows,
+                jnp.asarray(lm_pad),
+                jnp.asarray(local_idx),
+                jnp.asarray(window),
             )
-            crops_all[gated_pos] = np.asarray(to_uint8(out_g))[:f]
-            ok_all[gated_pos] = ok_g[:f]
+            crops_all[gated_pos] = np.asarray(out_g)[:f]
+            ok_all[gated_pos] = np.asarray(ok_g)[:f]
 
         crops = crops_all[ok_all]
         face_lm = face_lm[ok_all]
@@ -497,7 +513,9 @@ class FusedPipeline:
         args = self.det._detect_args()
         while True:
             out = run(self.det.params, imgs, ih, iw, **args)
-            caps = out[-1]
+            # _run / _run_detect return caps last; _run_detect_interim
+            # appends the interim batch after it.
+            caps = out[2] if enhanced else out[-1]
             grown = self.det.grown_args(
                 np.asarray(caps)[:valid_n], args, n_anchors
             )

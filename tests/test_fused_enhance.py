@@ -110,3 +110,24 @@ def test_fused_enhanced_serving_api(image_dir):
     # Warm the shape-admission heuristic, then serve.
     crops, idx, groups = c.process_images(imgs)
     assert crops.shape == (3, 32, 32, 3) and list(idx) == [0, 1, 2]
+
+
+def test_cap_growth_sees_caps_not_interim(image_dir):
+    """Regression: the enhanced fused program returns (lm, valid, caps,
+    interim); the growth loop must read the (N, 2) caps diagnostic, not the
+    trailing interim batch (which both mis-drove growth decisions and
+    force-fetched the whole interim to host every batch)."""
+    c = _make_cropper(enh_threshold=1.0)
+    c.det_model.auto_grow = True
+    seen = []
+    orig = c.det_model.grown_args
+
+    def recording(caps, args, n_anchors):
+        seen.append(np.asarray(caps).shape)
+        return orig(caps, args, n_anchors)
+
+    c.det_model.grown_args = recording
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 255, (3,) + SRC_HW + (3,), np.uint8)
+    c._fused.process(imgs, c.resize_size)
+    assert seen and all(s[-1] == 2 and len(s) == 2 for s in seen), seen
