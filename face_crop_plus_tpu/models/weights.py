@@ -141,6 +141,8 @@ def download_pth(
         return dest
 
     root = url_root or os.environ.get("FCPT_WEIGHTS_URL", UPSTREAM_URL_ROOT)
+    if not root.endswith("/"):
+        root += "/"
     if root in _failed_url_roots:
         return None
     url = root + fname
