@@ -135,7 +135,9 @@ def measure(device_str: str, n_images: int) -> float:
 
     data_dir = make_dataset(n_images)
     out_dir = data_dir + "_out"
-    passes = int(os.environ.get("FCPT_BENCH_PASSES", "5" if device_str != "cpu" else "1"))
+    passes = max(
+        1, int(os.environ.get("FCPT_BENCH_PASSES", "5" if device_str != "cpu" else "1"))
+    )
     fps_list = []
     prev = {k: dict(v) for k, v in cropper.stats.as_dict().items()}
     for p in range(passes):
@@ -191,10 +193,14 @@ def main():
 
     if accel == "cpu":
         value = measure("cpu", n_images=32)
+        value_passes = getattr(measure, "last_passes", None)
         base = value
     else:
         n = 1024 if MODE == "landmarks" else 256
         value = measure(accel, n_images=n)
+        # Snapshot before cpu_baseline() runs measure() again and overwrites
+        # the per-pass list with the CPU baseline's.
+        value_passes = getattr(measure, "last_passes", None)
         base = cpu_baseline() if MODE == "detect" else None
 
     metric = (
@@ -210,7 +216,7 @@ def main():
                 "unit": "faces/sec/chip",
                 "vs_baseline": round(value / base, 2) if base else None,
                 "method": "median of N e2e passes",
-                "passes": getattr(measure, "last_passes", None),
+                "passes": value_passes,
             }
         )
     )

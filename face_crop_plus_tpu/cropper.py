@@ -866,19 +866,28 @@ class Cropper:
         holds a crop named after it (the plain name, or the first ``_0``
         occurrence under ``strategy="all"``).  Sources that previously
         produced *no* output (no face found, unreadable) are re-processed;
-        grouped attr/mask subtrees are not consulted.
+        grouped attr/mask subtrees are not consulted.  Individual files are
+        written atomically (temp + rename), so a crash never leaves a
+        truncated crop that would be frozen by a resume; under
+        ``strategy="all"`` the completeness check is per-source occurrence
+        0, so a process killed between two faces of the *same* source can
+        lose that source's later faces on resume.
         """
         if output_dir is None:
             output_dir = input_dir + "_faces"
 
         files, bs = sorted(os.listdir(input_dir)), self.batch_size
+        if num_shards is not None and num_shards > 1:
+            files = files[(shard_index or 0) :: num_shards]
         if skip_existing and os.path.isdir(output_dir):
+            # Filter AFTER the strided shard split: each host prunes its own
+            # shard, so a host starting later (when more outputs exist) still
+            # covers exactly the same source partition — filtering first
+            # would skew the stride and could orphan files between hosts.
             done = set(os.listdir(output_dir))
             files = [
                 f for f in files if self._crop_file_name(f, 0) not in done
             ]
-        if num_shards is not None and num_shards > 1:
-            files = files[(shard_index or 0) :: num_shards]
         file_batches = [files[i : i + bs] for i in range(0, len(files), bs)]
         if len(file_batches) == 0:
             return

@@ -233,11 +233,18 @@ def load_or_init(model_name: str, init_fn, weights_dir: str | None):
         f"upstream: {UPSTREAM_URL_ROOT}). Falling back to random "
         f"initialization: outputs will not be meaningful."
     )
+    import contextlib
+
     import jax
 
     # The init fn runs the model's apply function *eagerly* to materialize
     # the parameter dict; pin it to the host backend — on a remote/tunneled
     # accelerator every eager op would be a round trip (minutes for the
-    # 345-conv RRDB trunk).
-    with jax.default_device(jax.devices("cpu")[0]):
+    # 345-conv RRDB trunk).  JAX_PLATFORMS may exclude cpu entirely; the
+    # pin is an optimization, so fall through rather than fail.
+    try:
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        ctx = contextlib.nullcontext()
+    with ctx:
         return init_fn(), False

@@ -50,21 +50,39 @@ def imread_rgb(path: str) -> np.ndarray | None:
 
 
 def imwrite(path: str, image: np.ndarray) -> bool:
-    """Encodes an RGB (H, W, 3) or grayscale (H, W) uint8 array to a file."""
+    """Encodes an RGB (H, W, 3) or grayscale (H, W) uint8 array to a file.
+
+    The encode goes to a temp file in the destination directory followed by
+    an atomic rename, so a crash mid-write never leaves a truncated image —
+    which matters for ``process_dir(skip_existing=True)``: a file's
+    existence is its completeness marker on resume.
+    """
     image = np.ascontiguousarray(image)
-    if _HAS_CV2:
-        if image.ndim == 3:
-            image = cv2.cvtColor(image, cv2.COLOR_RGB2BGR)
-        return bool(cv2.imwrite(path, image))
-    if _HAS_PIL:
-        try:
-            Image.fromarray(image).save(path)
-            return True
-        except Exception:
-            # cv2.imwrite signals failure via its return value; mirror that
-            # so callers keep their warn-and-skip semantics without cv2.
-            return False
-    raise RuntimeError("No image encoding backend available (cv2 or PIL).")
+    base, ext = os.path.splitext(path)
+    tmp = f"{base}.tmp-{os.getpid()}{ext}"
+    try:
+        if _HAS_CV2:
+            if image.ndim == 3:
+                image = cv2.cvtColor(image, cv2.COLOR_RGB2BGR)
+            if not cv2.imwrite(tmp, image):
+                return False
+        elif _HAS_PIL:
+            try:
+                Image.fromarray(image).save(tmp)
+            except Exception:
+                # cv2.imwrite signals failure via its return value; mirror
+                # that so callers keep their warn-and-skip semantics.
+                return False
+        else:
+            raise RuntimeError("No image encoding backend available (cv2 or PIL).")
+        os.replace(tmp, path)
+        return True
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:  # pragma: no cover
+                pass
 
 
 def read_images(

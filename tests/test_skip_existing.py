@@ -99,3 +99,31 @@ def test_skip_existing_cli_flag(tmp_path, rng):
     assert kwargs["skip_existing"] is True
     kwargs = parse_args(["-i", str(tmp_path), "-dt", "-1"])
     assert kwargs["skip_existing"] is False
+
+
+def test_skip_existing_filters_after_shard_split(tmp_path, rng):
+    """Resume must prune each host's own shard (filtering before the strided
+    split would skew positions and could orphan files between hosts)."""
+    d, lm, names = _make_inputs(tmp_path, rng, n=8)
+    out = tmp_path / "out"
+
+    # Complete half the files (even indices, i.e. shard 0 of 2).
+    c = _cropper(lm)
+    c.process_dir(str(d), str(out), desc=None, shard_index=0, num_shards=2)
+    assert sorted(os.listdir(out)) == sorted(names[0::2])
+
+    # Shard 1 resumes with skip_existing: it must still process exactly the
+    # odd-index files, not a re-strided subset of the unprocessed ones.
+    c.process_dir(str(d), str(out), desc=None, shard_index=1, num_shards=2,
+                  skip_existing=True)
+    assert sorted(os.listdir(out)) == sorted(names)
+
+
+def test_imwrite_atomic_no_temp_residue(tmp_path, rng):
+    from face_crop_plus_tpu.utils.io import imread_rgb, imwrite
+
+    img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    path = tmp_path / "x.png"
+    assert imwrite(str(path), img)
+    assert sorted(os.listdir(tmp_path)) == ["x.png"]
+    np.testing.assert_array_equal(imread_rgb(str(path)), img)

@@ -185,29 +185,12 @@ def trunk_im2col(p: Params, x: jnp.ndarray, num_blocks: int) -> jnp.ndarray:
 # kept when v in [-1, 1], zero otherwise.
 # ---------------------------------------------------------------------------
 
-def s2dw(x: jnp.ndarray) -> jnp.ndarray:
-    n, h, w, c = x.shape
-    return x.reshape(n, h, w // 2, 2, c).transpose(0, 1, 2, 4, 3).reshape(
-        n, h, w // 2, 2 * c)
-
-
-def d2sw(x: jnp.ndarray) -> jnp.ndarray:
-    n, h, w2, c2 = x.shape
-    return x.reshape(n, h, w2, c2 // 2, 2).transpose(0, 1, 2, 4, 3).reshape(
-        n, h, w2 * 2, c2 // 2)
-
-
-def _ws2d_weight(w: np.ndarray) -> np.ndarray:
-    """HWIO (3,3,ci,co) -> (3,3,2ci,2co) W-s2d-equivalent kernel."""
-    kh, kw, ci, co = w.shape
-    out = np.zeros((kh, 3, 2 * ci, 2 * co), w.dtype)
-    for q in (-1, 0, 1):
-        for si in (0, 1):
-            for so in (0, 1):
-                v = 2 * q + si - so
-                if -1 <= v <= 1:
-                    out[:, q + 1, si::2, so::2] = w[:, v + 1, :, :]
-    return out
+from face_crop_plus_tpu.ops.s2d import (  # noqa: E402
+    depth_to_space_w as d2sw,
+    s2dw_bias,
+    s2dw_conv_weight as _ws2d_weight,
+    space_to_depth_w as s2dw,
+)
 
 
 def make_ws2d_grouped_params(pdata: dict, num_blocks: int, dtype) -> dict:
@@ -439,7 +422,7 @@ def main():
         "im2col b1": (trunk_im2col, 1),
         "nchw b1": (trunk_nchw, 1),
     }
-    if args.variants and "ws2d" in args.variants:
+    if args.variants and ("ws2d b1" in args.variants or "ws2d b4" in args.variants):
         ws2d_trunk = make_trunk_ws2d(p0.data, args.blocks, dtype)
         variants["ws2d b1"] = (ws2d_trunk, 1)
         variants["ws2d b4"] = (ws2d_trunk, 4)
