@@ -388,10 +388,9 @@ class Cropper:
     def _face_bucket(f: int) -> int:
         """Face counts vary per batch (NMS output); warping at power-of-two
         bucket sizes keeps the number of compiled warp programs logarithmic."""
-        b = 1
-        while b < f:
-            b *= 2
-        return b
+        from .utils.batching import next_pow2
+
+        return next_pow2(f)
 
     def _warp_uniform(self, images, padding, indices, matrices):
         """Warps faces out of a uniform (N, H, W, 3) batch."""
@@ -552,6 +551,34 @@ class Cropper:
     # Per-batch pipeline
     # ------------------------------------------------------------------
 
+    def _detect_interim(self, images: list[np.ndarray]):
+        """Detects faces on the host-resized interim batch.
+
+        The shared detect block of every staged path: ``as_batch`` to the
+        interim size, pad the batch to ``batch_size`` (one compiled detector
+        program for any request size), drop faces found on padding rows, and
+        un-pad landmark coordinates.
+
+        Returns:
+            Tuple of the interim batch (N, H, W, 3), its paddings (N, 4),
+            float32 landmarks (F, 5, 2) in un-padded interim coordinates,
+            and the face→image index list (F,).
+        """
+        batch, _, paddings = as_batch(images, self.resize_size)
+        n_true = len(batch)
+        det_in = batch
+        if n_true < self.batch_size:
+            from .utils.batching import pad_batch_to
+
+            det_in, _ = pad_batch_to(batch, self.batch_size)
+        landmarks, indices = self.det_model.predict(det_in)
+        keep = [j for j, i in enumerate(indices) if i < n_true]
+        landmarks = landmarks[keep] if len(landmarks) else landmarks
+        indices = [indices[j] for j in keep]
+        if len(landmarks) > 0:
+            landmarks = landmarks - paddings[indices][:, None, [2, 0]]
+        return batch, paddings, landmarks, indices
+
     def _detect_crop_staged(self, images: list[np.ndarray]):
         """Classic staged detect→align→crop for a ragged image list.
 
@@ -566,20 +593,18 @@ class Cropper:
         empty = (np.zeros((0,) + self.output_size[::-1] + (3,), np.uint8),
                  np.zeros((0,), np.int64))
         with self.stats.stage("detect", len(images)):
-            batch, _, paddings = as_batch(images, self.resize_size)
-            n_true = len(batch)
-            det_in = batch
-            if n_true < self.batch_size:
-                from .utils.batching import pad_batch_to
-
-                det_in, _ = pad_batch_to(batch, self.batch_size)
-            landmarks, indices = self.det_model.predict(det_in)
-            keep = [j for j, i in enumerate(indices) if i < n_true]
-            if not keep:
+            batch, paddings, landmarks, indices = self._detect_interim(images)
+            if len(landmarks) == 0:
                 return empty
-            landmarks = landmarks[keep]
-            indices = np.asarray([indices[j] for j in keep], np.int64)
-            landmarks = landmarks - paddings[indices][:, None, [2, 0]]
+            indices = np.asarray(indices, np.int64)
+
+        if self.enh_model is not None:
+            # Same gate+SR step the generic detection path applies: images
+            # that fall back to this staged path (odd shapes in a fused run)
+            # must still be enhanced — reference cropper.py:837-840 always
+            # enhances gated images in detection mode.
+            with self.stats.stage("enhance", len(batch)):
+                batch = self.enh_model.predict(batch, landmarks, list(indices))
 
         with self.stats.stage("crop", len(landmarks)):
             return self._align_crop_filtered(batch, paddings, indices, landmarks)
@@ -651,14 +676,11 @@ class Cropper:
                             batch,
                             self.resize_size,
                             return_device_crops=device_handoff,
+                            valid_n=n_true,
                         )
                         crops, _lm, loc = result[:3]
                         if device_handoff:
                             dev_crops = result[3]
-                        keep = loc < n_true
-                        if device_handoff and not keep.all():
-                            dev_crops = None  # padding rows got faces; rare
-                        crops, loc = crops[keep], loc[keep]
                     if len(crops):
                         crops_parts.append(crops)
                         idx_parts.append(np.asarray(ids)[loc])
@@ -704,19 +726,7 @@ class Cropper:
             landmarks = self.landmarks[0][indices_ldm]
         else:
             with self.stats.stage("detect", len(images)):
-                batch, _, paddings = as_batch(images, self.resize_size)
-                n_true = len(batch)
-                det_in = batch
-                if n_true < self.batch_size:
-                    from .utils.batching import pad_batch_to
-
-                    det_in, _ = pad_batch_to(batch, self.batch_size)
-                landmarks, indices = self.det_model.predict(det_in)
-                keep = [j for j, i in enumerate(indices) if i < n_true]
-                landmarks = landmarks[keep] if len(landmarks) else landmarks
-                indices = [indices[j] for j in keep]
-                if len(landmarks) > 0:
-                    landmarks = landmarks - paddings[indices][:, None, [2, 0]]
+                batch, paddings, landmarks, indices = self._detect_interim(images)
                 images = batch
 
         if landmarks is not None and len(landmarks) == 0:
@@ -786,6 +796,12 @@ class Cropper:
                 "process_images requires an active detector "
                 "(det_threshold must be set and landmarks must be None)."
             )
+        if len(images) == 0:
+            return (
+                np.zeros((0,) + self.output_size[::-1] + (3,), np.uint8),
+                np.zeros((0,), np.int64),
+                (None, None),
+            )
 
         uniform = len({im.shape for im in images}) == 1
         if (
@@ -799,38 +815,13 @@ class Cropper:
                 from .utils.batching import pad_batch_to
 
                 batch, _ = pad_batch_to(batch, self.batch_size)
-            crops, _lm, indices = self._fused.process(batch, self.resize_size)
-            keep = indices < n_true
-            crops, indices = crops[keep], indices[keep]
+            crops, _lm, indices = self._fused.process(
+                batch, self.resize_size, valid_n=n_true
+            )
         else:
-            if self.enh_model is not None:
-                # Staged: detect first for the gate landmarks.
-                batch, _, paddings = as_batch(images, self.resize_size)
-                n_true = len(batch)
-                det_in = batch
-                if n_true < self.batch_size:
-                    # Pad to the configured batch size so serving requests of
-                    # varying N reuse one compiled detector program.
-                    from .utils.batching import pad_batch_to
-
-                    det_in, _ = pad_batch_to(batch, self.batch_size)
-                landmarks, idx_list = self.det_model.predict(det_in)
-                keep = [j for j, i in enumerate(idx_list) if i < n_true]
-                landmarks = landmarks[keep] if len(landmarks) else landmarks
-                idx_list = [idx_list[j] for j in keep]
-                if len(landmarks) == 0:
-                    return (
-                        np.zeros((0,) + self.output_size[::-1] + (3,), np.uint8),
-                        np.zeros((0,), np.int64),
-                        (None, None),
-                    )
-                landmarks = landmarks - paddings[idx_list][:, None, [2, 0]]
-                batch = self.enh_model.predict(batch, landmarks, idx_list)
-                crops, indices = self._align_crop_filtered(
-                    np.asarray(batch), paddings, idx_list, landmarks
-                )
-            else:
-                crops, indices = self._detect_crop_staged(images)
+            # Staged detect → (gated enhance) → crop; one compiled detector
+            # program for any mix of shapes (requests padded to batch_size).
+            crops, indices = self._detect_crop_staged(images)
 
         groups = (None, None)
         if self.par_model is not None and len(crops):

@@ -315,11 +315,7 @@ class RetinaFace:
         new = dict(args)
         grew = False
 
-        def next_pow2(need, lo):
-            t = lo
-            while t < need:
-                t *= 2
-            return t
+        from ..utils.batching import next_pow2
 
         k = min(args["pre_topk"], n_anchors)
         k_ceiling = min(_PRE_TOPK_CEILING, n_anchors)
@@ -347,6 +343,27 @@ class RetinaFace:
                 )
 
         return new if grew else None
+
+    def dispatch_with_growth(self, dispatch, n_anchors: int, valid_n: int):
+        """Runs a detect dispatch under the cap-growth retry policy.
+
+        ``dispatch(args)`` must return ``(out, caps)`` where ``caps`` is the
+        (N, 2) diagnostic from :func:`select_faces`.  When a cap binds and
+        ``auto_grow`` is on, the dispatch re-runs with doubled caps (new
+        static shapes compile once) and the grown caps persist on the model
+        so later batches skip the retry.  Shared by the staged path
+        (:meth:`detect_padded`) and the fused pipeline so the growth policy
+        cannot diverge between them.
+        """
+        args = self._detect_args()
+        while True:
+            out, caps = dispatch(args)
+            grown = self.grown_args(np.asarray(caps)[:valid_n], args, n_anchors)
+            if grown is None:
+                return out
+            args = grown
+            self.pre_topk = args["pre_topk"]
+            self.max_faces = args["max_faces"]
 
     def _warn_cap(self, detail: str):
         if self._cap_warned:
@@ -385,16 +402,12 @@ class RetinaFace:
                 imgs = jax.device_put(imgs, self.device)
 
         n_anchors = len(anchor_grid(h, w))
-        args = self._detect_args()
-        while True:
+
+        def dispatch(args):
             landms, valid, caps = self._detect(self.params, imgs, h, w, **args)
-            grown = self.grown_args(np.asarray(caps)[:valid_n], args, n_anchors)
-            if grown is None:
-                break
-            args = grown
-            # Persist so subsequent batches start at the grown caps.
-            self.pre_topk = args["pre_topk"]
-            self.max_faces = args["max_faces"]
+            return (landms, valid), caps
+
+        landms, valid = self.dispatch_with_growth(dispatch, n_anchors, valid_n)
         return np.asarray(landms)[:valid_n], np.asarray(valid)[:valid_n]
 
     def predict(self, images: np.ndarray) -> tuple[np.ndarray, list[int]]:

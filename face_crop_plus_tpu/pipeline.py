@@ -331,10 +331,9 @@ class FusedPipeline:
 
     @staticmethod
     def _pow2_bucket(n: int) -> int:
-        b = 1
-        while b < n:
-            b *= 2
-        return b
+        from .utils.batching import next_pow2
+
+        return next_pow2(n)
 
     def _finish_enhanced(
         self, out, imgs, src_hw, interim_size, valid_n, return_device_crops
@@ -457,6 +456,7 @@ class FusedPipeline:
         images: np.ndarray,
         interim_size: tuple[int, int],
         return_device_crops: bool = False,
+        valid_n: int | None = None,
     ):
         """Runs the fused step; returns host (crops, landmarks, indices).
 
@@ -467,6 +467,10 @@ class FusedPipeline:
                 a device array (padded to a power-of-two face bucket) so a
                 downstream device consumer (the parser) can skip the
                 host→device re-upload.
+            valid_n: Number of leading real rows when the caller padded the
+                batch to a fixed size (rows beyond it are duplicates whose
+                faces must not surface — and, with enhancement active, must
+                not be super-resolved).  Defaults to the full batch.
 
         Returns:
             Compacted uint8 crops (F, Ho, Wo, 3), float32 landmarks
@@ -483,14 +487,16 @@ class FusedPipeline:
         images — two dispatches, no wasted warps, no image re-upload.
         """
         n = images.shape[0]
+        caller_valid = n if valid_n is None else min(int(valid_n), n)
         iw, ih = interim_size
         if self.mesh is not None:
             from .parallel.mesh import pad_to_multiple, shard_batch
 
-            padded, valid_n = pad_to_multiple(np.asarray(images), self.mesh.size)
+            padded, mesh_valid = pad_to_multiple(np.asarray(images), self.mesh.size)
+            valid_n = min(caller_valid, mesh_valid)
             imgs = shard_batch(padded, self.mesh)
         else:
-            valid_n = n
+            valid_n = caller_valid
             imgs = jnp.asarray(images)
             if self.device is not None:
                 imgs = jax.device_put(imgs, self.device)
@@ -509,21 +515,13 @@ class FusedPipeline:
 
         from .ops.anchors import anchor_grid as _grid
 
-        n_anchors = len(_grid(ih, iw))
-        args = self.det._detect_args()
-        while True:
+        def dispatch(args):
             out = run(self.det.params, imgs, ih, iw, **args)
             # _run / _run_detect return caps last; _run_detect_interim
             # appends the interim batch after it.
-            caps = out[2] if enhanced else out[-1]
-            grown = self.det.grown_args(
-                np.asarray(caps)[:valid_n], args, n_anchors
-            )
-            if grown is None:
-                break
-            args = grown
-            self.det.pre_topk = args["pre_topk"]
-            self.det.max_faces = args["max_faces"]
+            return out, (out[2] if enhanced else out[-1])
+
+        out = self.det.dispatch_with_growth(dispatch, len(_grid(ih, iw)), valid_n)
 
         if enhanced:
             return self._finish_enhanced(

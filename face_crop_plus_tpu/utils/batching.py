@@ -163,6 +163,19 @@ def pad_batch_to(batch: np.ndarray, n: int) -> tuple[np.ndarray, int]:
     return np.concatenate([batch, reps], axis=0), valid
 
 
+def next_pow2(n: int, lo: int = 1) -> int:
+    """Smallest power-of-two multiple of ``lo`` that is >= n (>= lo).
+
+    The shared bucketing policy for dynamic counts (faces kept by NMS,
+    gated-SR rows, grown detection caps): padding device-program operands to
+    power-of-two buckets keeps the number of compiled shapes logarithmic.
+    """
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
 def bucket_size(n: int, buckets: tuple[int, ...]) -> int:
     """Smallest bucket >= n; beyond the largest bucket, the next multiple of
     it (so ``pad_batch_to(batch, bucket_size(len(batch), buckets))`` always

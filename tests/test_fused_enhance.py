@@ -131,3 +131,42 @@ def test_cap_growth_sees_caps_not_interim(image_dir):
     imgs = rng.integers(0, 255, (3,) + SRC_HW + (3,), np.uint8)
     c._fused.process(imgs, c.resize_size)
     assert seen and all(s[-1] == 2 and len(s) == 2 for s in seen), seen
+
+
+def test_staged_fallback_still_enhances(tmp_path, image_dir):
+    """Images routed to the staged fallback inside a fused run (shape not
+    fused-eligible) must still be enhanced — whether an image gets SR must
+    not depend on batch shape composition (reference cropper.py:837-840
+    always enhances gated images in detection mode)."""
+    c = _make_cropper(1.0, max_fused_shapes=0, output_format="png")
+    assert c._fused is not None  # fused pipeline built...
+    rng = np.random.default_rng(7)
+    out = str(tmp_path / "o")
+    c.process_dir(image_dir, out, desc=None)
+    # ...but no shape is eligible: everything went staged, and the staged
+    # path ran the enhancer.
+    assert not c._fused_shapes
+    assert c.stats.calls.get("enhance", 0) >= 1
+    assert len(os.listdir(out)) == 3
+
+
+def test_fused_partial_batch_valid_n(image_dir):
+    """A caller-padded batch surfaces faces only from real rows, and the
+    enhanced path never super-resolves the duplicate padding rows."""
+    c = _make_cropper(1.0)
+    rng = np.random.default_rng(8)
+    real = rng.integers(0, 255, (2,) + SRC_HW + (3,), np.uint8)
+    batch = np.concatenate([real, np.repeat(real[-1:], 4, axis=0)])  # pad to 6
+
+    calls = []
+    orig = c.enh_model.enhance_device
+
+    def counting(imgs):
+        calls.append(int(imgs.shape[0]))
+        return orig(imgs)
+
+    c.enh_model.enhance_device = counting
+    crops, lm, idx = c._fused.process(batch, c.resize_size, valid_n=2)
+    assert idx.max() < 2
+    # Gated rows come only from the 2 real images (bucketed to <= 2).
+    assert calls and all(n <= 2 for n in calls)

@@ -69,3 +69,19 @@ def test_requires_detector(rng):
     c = Cropper(det_threshold=None, enh_threshold=None, device="cpu")
     with pytest.raises(ValueError, match="detector"):
         c.process_images(rng.integers(0, 255, (1, 32, 32, 3), dtype=np.uint8))
+
+
+def test_process_images_empty_input():
+    import warnings
+
+    import numpy as np
+
+    from face_crop_plus_tpu import Cropper
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        c = Cropper(output_size=32, resize_size=(64, 64), det_threshold=0.6,
+                    enh_threshold=None, device="cpu")
+    crops, idx, groups = c.process_images([])
+    assert crops.shape == (0, 32, 32, 3) and idx.shape == (0,)
+    assert groups == (None, None)
