@@ -332,10 +332,12 @@ class RRDBNet:
         SR at 4x then exact bicubic x0.25 back, clamp to [0,1], x255, round
         — reference rrdb.py:142-144.
         """
+        from ..ops.warp import to_uint8
+
         x = (images.astype(jnp.float32) / 255.0).astype(self.compute_dtype)
         hr = forward(x).astype(jnp.float32)
         lr = downscale4x_bicubic(hr)
-        return jnp.clip(jnp.rint(jnp.clip(lr, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
+        return to_uint8(jnp.clip(lr, 0.0, 1.0) * 255.0)
 
     @partial(jax.jit, static_argnames=("self",))
     def _enhance(self, params: dict, images: jnp.ndarray) -> jnp.ndarray:
@@ -429,7 +431,7 @@ class RRDBNet:
     def enhance_images(self, images: np.ndarray) -> np.ndarray:
         """Enhances a uniform uint8 batch in fixed-size sub-batches."""
         mode = self._mode_for_shape(images.shape[1], images.shape[2])
-        out = np.array(images, copy=True)
+        out = np.empty_like(images)  # every row is written below
         bs = self.enh_batch_size
         for start in range(0, len(images), bs):
             chunk = images[start : start + bs]
@@ -464,8 +466,8 @@ class RRDBNet:
         for start in range(0, n, bs):
             idx = np.minimum(np.arange(start, start + bs), n - 1)
             chunk = (
-                images
-                if (start == 0 and bs >= n and n == bs)
+                images  # single full-size chunk: no gather needed
+                if n == bs
                 else jnp.take(images, jnp.asarray(idx), axis=0)
             )
             res = self._run_sr(chunk, mode)
@@ -487,6 +489,8 @@ class RRDBNet:
         """
         is_list = isinstance(images, list)
         n = len(images)
+        if n == 0:  # the reference's loop body never runs for empty input
+            return images
         h0, w0 = images[0].shape[:2]
 
         if landmarks is None or indices is None:

@@ -199,8 +199,19 @@ def warp_affine_batch(
             y0 = jnp.maximum(y0, 0)
             fx = sxm - x0
             fy = sym - y0
-            ys = y0 + to
-            xs = x0 + lo
+            # A 1-pixel window flush with the image's far edge would start
+            # the 2-wide gather at the last row/column (XLA would clamp the
+            # start, silently shifting the window); clamp the absolute start
+            # ourselves and carry the shift into the bilinear fraction —
+            # exact because these modes clamp coordinates into the window
+            # (a shift of 1 puts fx at exactly 1.0, i.e. full weight on the
+            # intended last pixel).
+            ys_raw = y0 + to
+            xs_raw = x0 + lo
+            ys = jnp.clip(ys_raw, 0, max(h - 2, 0))
+            xs = jnp.clip(xs_raw, 0, max(w - 2, 0))
+            fy = fy + (ys_raw - ys).astype(fy.dtype)
+            fx = fx + (xs_raw - xs).astype(fx.dtype)
             inside = None
 
         starts = jnp.stack([bidx, ys, xs], axis=-1).reshape(-1, 3)

@@ -34,7 +34,11 @@ except Exception:  # pragma: no cover
 
 
 def imread_rgb(path: str) -> np.ndarray | None:
-    """Decodes one image file to an RGB uint8 (H, W, 3) array, or None."""
+    """Decodes one image file to an RGB uint8 (H, W, 3) array, or None.
+
+    EXIF orientation is applied (``cv2.imread`` semantics — the reference's
+    decode path); the PIL fallback transposes explicitly to match.
+    """
     if _HAS_CV2:
         img = cv2.imread(path, cv2.IMREAD_COLOR)
         if img is None:
@@ -42,11 +46,81 @@ def imread_rgb(path: str) -> np.ndarray | None:
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     if _HAS_PIL:
         try:
+            from PIL import ImageOps
+
             with Image.open(path) as im:
-                return np.asarray(im.convert("RGB"))
+                return np.asarray(ImageOps.exif_transpose(im).convert("RGB"))
         except Exception:
             return None
     raise RuntimeError("No image decoding backend available (cv2 or PIL).")
+
+
+def jpeg_exif_orientation(path: str) -> int:
+    """Reads the EXIF orientation tag (1-8) from a JPEG header, 1 on any
+    parse failure.  Pure-Python scan of the APP1/TIFF structure — the
+    native libjpeg decoder ignores EXIF, so its output must be transposed
+    to keep pixel parity with ``cv2.imread`` (which auto-orients)."""
+    import struct
+
+    try:
+        with open(path, "rb") as f:
+            head = f.read(65536)
+        if head[:2] != b"\xff\xd8":
+            return 1
+        i = 2
+        while i + 4 <= len(head):
+            if head[i] != 0xFF:
+                return 1
+            marker = head[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", head[i + 2 : i + 4])
+            if marker == 0xE1 and head[i + 4 : i + 10] == b"Exif\x00\x00":
+                tiff = i + 10
+                bo = head[tiff : tiff + 2]
+                if bo == b"II":
+                    u16, u32 = "<H", "<I"
+                elif bo == b"MM":
+                    u16, u32 = ">H", ">I"
+                else:
+                    return 1
+                (ifd_off,) = struct.unpack(u32, head[tiff + 4 : tiff + 8])
+                ifd = tiff + ifd_off
+                (count,) = struct.unpack(u16, head[ifd : ifd + 2])
+                for e in range(count):
+                    ent = ifd + 2 + 12 * e
+                    (tag,) = struct.unpack(u16, head[ent : ent + 2])
+                    if tag == 0x0112:
+                        (val,) = struct.unpack(u16, head[ent + 8 : ent + 10])
+                        return val if 1 <= val <= 8 else 1
+                return 1
+            if marker == 0xDA:  # start of scan: no APP1 seen
+                return 1
+            i += 2 + seg_len
+        return 1
+    except Exception:
+        return 1
+
+
+def apply_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Transposes a decoded raster upright per its EXIF orientation (the
+    transforms PIL's ``exif_transpose`` / cv2's auto-orient apply)."""
+    if orientation == 2:
+        return np.ascontiguousarray(img[:, ::-1])
+    if orientation == 3:
+        return np.ascontiguousarray(img[::-1, ::-1])
+    if orientation == 4:
+        return np.ascontiguousarray(img[::-1, :])
+    if orientation == 5:
+        return np.ascontiguousarray(img.transpose(1, 0, 2))
+    if orientation == 6:
+        return np.ascontiguousarray(img.transpose(1, 0, 2)[:, ::-1])
+    if orientation == 7:
+        return np.ascontiguousarray(img.transpose(1, 0, 2)[::-1, ::-1])
+    if orientation == 8:
+        return np.ascontiguousarray(img.transpose(1, 0, 2)[::-1, :])
+    return img
 
 
 def imwrite(path: str, image: np.ndarray) -> bool:
@@ -130,10 +204,20 @@ def read_images(
         ]
         if jpg_ids:
             if target_max:
-                # Group by DCT scale factor chosen from header dims.
+                # Group by DCT scale factor chosen from header dims (header
+                # reads go through the thread pool too — one serial open per
+                # file would gate the parallel decode on slow storage).
+                if len(jpg_ids) > 1 and n_threads > 1:
+                    from multiprocessing.pool import ThreadPool
+
+                    with ThreadPool(min(n_threads, len(jpg_ids))) as pool:
+                        all_dims = pool.map(
+                            native_io.jpeg_dims, [paths[i] for i in jpg_ids]
+                        )
+                else:
+                    all_dims = [native_io.jpeg_dims(paths[i]) for i in jpg_ids]
                 by_denom: dict[int, list[int]] = {}
-                for i in jpg_ids:
-                    dims = native_io.jpeg_dims(paths[i])
+                for i, dims in zip(jpg_ids, all_dims):
                     denom = (
                         native_io.pick_scale_denom(dims, target_max) if dims else 1
                     )
@@ -149,7 +233,11 @@ def read_images(
                 )
                 for i, img in zip(ids, decoded):
                     if img is not None:
-                        results[i] = img
+                        # libjpeg ignores EXIF; transpose upright to keep
+                        # pixel parity with cv2.imread's auto-orientation.
+                        results[i] = apply_exif_orientation(
+                            img, jpeg_exif_orientation(paths[i])
+                        )
                         native_ok.add(i)
 
     fallback_ids = [i for i in range(len(paths)) if i not in native_ok]

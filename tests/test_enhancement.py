@@ -108,3 +108,14 @@ def test_ragged_list_input(enh, rng):
     assert isinstance(out, list)
     assert [o.shape for o in out] == [i.shape for i in imgs]
     assert all(not np.array_equal(o, i) for o, i in zip(out, imgs))
+
+
+def test_predict_empty_batch_passthrough():
+    import numpy as np
+
+    from face_crop_plus_tpu.models.enhancement import RRDBNet
+
+    m = RRDBNet(num_blocks=1)
+    out = m.predict(np.zeros((0, 8, 8, 3), np.uint8), None, None)
+    assert len(out) == 0
+    assert m.predict([], None, None) == []

@@ -1,0 +1,77 @@
+"""EXIF orientation parity: native libjpeg decode vs cv2's auto-orient."""
+
+import os
+
+import numpy as np
+import pytest
+
+from face_crop_plus_tpu.utils.io import (
+    apply_exif_orientation,
+    imread_rgb,
+    jpeg_exif_orientation,
+    read_images,
+)
+
+PIL = pytest.importorskip("PIL.Image")
+
+
+def _write_oriented_jpeg(path, img, orientation):
+    im = PIL.fromarray(img)
+    exif = PIL.Exif()
+    exif[0x0112] = orientation
+    im.save(path, quality=95, exif=exif.tobytes())
+
+
+@pytest.mark.parametrize("orientation", [1, 2, 3, 4, 5, 6, 7, 8])
+def test_jpeg_exif_orientation_parse(tmp_path, rng, orientation):
+    img = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.jpg")
+    _write_oriented_jpeg(p, img, orientation)
+    assert jpeg_exif_orientation(p) == orientation
+
+
+def test_jpeg_without_exif_is_orientation_1(tmp_path, rng):
+    img = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.jpg")
+    PIL.fromarray(img).save(p, quality=95)
+    assert jpeg_exif_orientation(p) == 1
+    assert jpeg_exif_orientation(str(tmp_path / "missing.jpg")) == 1
+
+
+@pytest.mark.parametrize("orientation", [2, 3, 4, 5, 6, 7, 8])
+def test_apply_orientation_matches_pil_transpose(rng, orientation):
+    from PIL import Image
+
+    # The transpose PIL's ImageOps.exif_transpose applies per orientation.
+    ops = {
+        2: Image.FLIP_LEFT_RIGHT,
+        3: Image.ROTATE_180,
+        4: Image.FLIP_TOP_BOTTOM,
+        5: Image.TRANSPOSE,
+        6: Image.ROTATE_270,
+        7: Image.TRANSVERSE,
+        8: Image.ROTATE_90,
+    }
+    img = rng.integers(0, 255, (10, 14, 3), dtype=np.uint8)
+    want = np.asarray(PIL.fromarray(img).transpose(ops[orientation]))
+    got = apply_exif_orientation(img, orientation)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_read_images_native_matches_cv2_for_oriented_jpeg(tmp_path, rng):
+    cv2 = pytest.importorskip("cv2")
+    from face_crop_plus_tpu.utils import native_io
+
+    if not native_io.available():
+        pytest.skip("native decoder unavailable")
+
+    img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    p = str(tmp_path / "rot.jpg")
+    _write_oriented_jpeg(p, img, 6)
+
+    images, names = read_images(["rot.jpg"], str(tmp_path))
+    assert list(names) == ["rot.jpg"]
+    want = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+    assert images[0].shape == want.shape  # rotated: (64, 48, 3)
+    d = np.abs(images[0].astype(int) - want.astype(int))
+    assert d.mean() < 1.0

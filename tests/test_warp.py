@@ -103,3 +103,28 @@ def test_face_batch_indexing(rng):
     )
     np.testing.assert_array_equal(out[0], out[2])
     assert not np.array_equal(out[0], out[1])
+
+
+@pytest.mark.parametrize("mode", ["replicate", "reflect_101"])
+def test_warp_one_pixel_window_at_far_edge(rng, mode):
+    """A 1-pixel-wide window flush with the image's right edge must sample
+    the window's only column, not its left neighbor (the 2-wide gather
+    start is clamped and the shift carried into the bilinear fraction)."""
+    import numpy as np
+
+    from face_crop_plus_tpu.ops.warp import warp_affine_batch
+
+    h = w = 8
+    img = rng.integers(0, 255, (1, h, w, 3), np.uint8).astype(np.float32)
+    # Make the last column distinctive.
+    img[0, :, -1, :] = 200.0
+    img[0, :, -2, :] = 10.0
+
+    mats = np.eye(2, 3, dtype=np.float32)[None]  # output == window coords
+    idx = np.zeros(1, np.int32)
+    win = np.array([[0, w - 1, 4, 1]], np.int32)  # (top, left, h', w'=1)
+    out = np.asarray(
+        warp_affine_batch(img, mats, idx, (2, 4), mode, win)
+    )
+    # Every sample maps into the single window column == absolute col w-1.
+    np.testing.assert_allclose(out[0, :, :, 0], 200.0, atol=1e-4)
