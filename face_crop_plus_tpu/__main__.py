@@ -116,7 +116,12 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
     if pre.config:
         with open(pre.config) as f:
             defaults = json.load(f)
-        known = {a.dest for a in parser._actions}
+        # Only override real option defaults — SUPPRESS-default actions
+        # (like -h/--help) must never leak into the kwargs (the reference
+        # guards identically, __main__.py:84).
+        known = {
+            a.dest for a in parser._actions if a.default is not argparse.SUPPRESS
+        }
         parser.set_defaults(**{k: v for k, v in defaults.items() if k in known})
 
     kwargs = vars(parser.parse_args(argv))
@@ -125,11 +130,9 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
     if kwargs.get("input_dir") is None:
         raise ValueError("Input directory must be specified.")
 
-    if kwargs["device"] == "auto":
-        import jax
-
-        platforms = {d.platform for d in jax.devices()}
-        kwargs["device"] = "tpu" if "tpu" in platforms else jax.devices()[0].platform
+    # device="auto" passes through: Cropper._resolve_device maps it to the
+    # default backend's first device (TPU when present) — resolving here
+    # too would duplicate that logic and initialize JAX during arg parsing.
 
     for key in ("det_threshold", "enh_threshold"):
         if kwargs[key] is not None and kwargs[key] < 0:

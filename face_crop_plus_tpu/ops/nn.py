@@ -64,10 +64,6 @@ class Params:
             self._create(key, shape, kind)
         return self.data[key]
 
-    def astype(self, dtype) -> "Params":
-        """Returns a copy with all arrays cast to ``dtype`` (pre-cast once
-        at load time rather than per step)."""
-        return Params({k: jnp.asarray(v, dtype) for k, v in self.data.items()})
 
 
 def conv2d(
@@ -157,8 +153,11 @@ def _linear_resize_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndar
     """
     if n_in == n_out:
         return np.eye(n_out, dtype=np.float32)
-    if align_corners and n_out > 1:
-        src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    if align_corners:
+        # torch uses scale (n_in-1)/(n_out-1), which degenerates to 0 for a
+        # single output sample: the corner pixel, not the center.
+        scale_ac = (n_in - 1) / (n_out - 1) if n_out > 1 else 0.0
+        src = np.arange(n_out, dtype=np.float64) * scale_ac
     else:
         scale = n_in / n_out
         src = (np.arange(n_out, dtype=np.float64) + 0.5) * scale - 0.5

@@ -58,7 +58,8 @@ def clean_names(
     # Budget against the directory the files will actually land in.
     dest_dir = input_dir if output_dir is None else output_dir
     max_chars -= len(dest_dir)
-    filename_counts = collections.defaultdict(lambda: -1)
+    filename_counts = collections.defaultdict(int)  # base name -> last suffix
+    taken: set[str] = set()  # names assigned this run (case-insensitive)
 
     if max_chars <= 5:
         raise RuntimeError(
@@ -99,19 +100,29 @@ def clean_names(
         if len(name + ext) > max_chars:
             name = name[: max_chars - len(ext)]
 
-        filename_counts[(name + ext).lower()] += 1
-        while True:
-            count = filename_counts[(name + ext).lower()]
-            if count > 0:
-                name += f"-{count}"
-                filename_counts[(name + ext).lower()] += 1
-                continue
-            if output_dir is None and (name + ext).lower() in pending:
-                # A not-yet-processed file already holds this name; bump
-                # the counter so the dedup suffix kicks in next iteration.
-                filename_counts[(name + ext).lower()] += 1
-                continue
-            break
+        # Case-insensitive dedup: the first claimant keeps the plain name,
+        # later ones get -1, -2, ... in encounter order.  A name is not
+        # free when already assigned this run (``taken``) or, for in-place
+        # renames, still held by a not-yet-processed file (``pending`` —
+        # os.rename would silently replace its contents on POSIX).  A
+        # pending holder does NOT cost itself a suffix later: only the
+        # colliding file is suffixed (so 'ä.jpg' + 'a.jpg' yields
+        # 'a-1.jpg' + 'a.jpg', stable across listdir orders).
+        def _free(candidate: str) -> bool:
+            k = (candidate + ext).lower()
+            if k in taken:
+                return False
+            return not (output_dir is None and k in pending)
+
+        if _free(name):
+            pass
+        else:
+            i = filename_counts[(name + ext).lower()] + 1
+            while not _free(f"{name}-{i}"):
+                i += 1
+            filename_counts[(name + ext).lower()] = i
+            name = f"{name}-{i}"
+        taken.add((name + ext).lower())
 
         if output_dir is not None:
             shutil.copy(

@@ -95,3 +95,17 @@ def test_main_clean_names_temp_dir(tmp_path, rng):
           "-dt", "-1", "-et", "-1", "-d", "cpu", "-s", "32"])
     assert os.listdir(out) == ["ab.png"]
     assert not os.path.exists(str(imgs) + "_temp")  # temp dir cleaned up
+
+
+def test_config_help_key_is_ignored(tmp_path):
+    """A JSON config containing a 'help' key must not leak into kwargs
+    (SUPPRESS-default actions are excluded, like the reference)."""
+    import json as _json
+
+    from face_crop_plus_tpu.__main__ import parse_args
+
+    cfg = tmp_path / "c.json"
+    cfg.write_text(_json.dumps({"help": True, "batch_size": 3}))
+    kwargs = parse_args(["-i", str(tmp_path), "-c", str(cfg), "-dt", "-1"])
+    assert "help" not in kwargs
+    assert kwargs["batch_size"] == 3

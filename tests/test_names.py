@@ -78,3 +78,20 @@ def test_truncation_applies_to_transliterated_name(tmp_path):
     clean_names(str(tmp_path), max_chars=len(str(tmp_path)) + 20, desc=None)
     out = os.listdir(tmp_path)[0]
     assert len(out) <= 20
+
+
+def test_inplace_collision_keeps_unchanged_files_name(tmp_path):
+    """'ä.jpg' colliding with a pending 'a.jpg' must suffix only itself;
+    the file already holding its clean name keeps it (stable across
+    listdir orders — matters for skip_existing resume)."""
+    import os
+
+    from face_crop_plus_tpu.utils.names import clean_names
+
+    (tmp_path / "ä.jpg").write_bytes(b"umlaut")
+    (tmp_path / "a.jpg").write_bytes(b"plain")
+    clean_names(str(tmp_path), desc=None)
+    names = sorted(os.listdir(tmp_path))
+    assert names == ["a-1.jpg", "a.jpg"], names
+    assert (tmp_path / "a.jpg").read_bytes() == b"plain"
+    assert (tmp_path / "a-1.jpg").read_bytes() == b"umlaut"
