@@ -7,6 +7,11 @@ pipeline still exercises end to end.
 """
 
 import os
+import sys
+
+# Runnable from a plain checkout without installing (or setting PYTHONPATH,
+# which some accelerator-plugin environments are sensitive to).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from face_crop_plus_tpu import Cropper
 

@@ -384,6 +384,10 @@ class Cropper:
             crops = self._warp_ragged(images, indices, matrices)
         return crops, indices
 
+    #: Faces per warp dispatch: bounds the window-gather working set
+    #: (~1.6 GB at 512 faces × 256² crops); larger face sets are chunked.
+    max_warp_chunk: int = 512
+
     @staticmethod
     def _face_bucket(f: int) -> int:
         """Face counts vary per batch (NMS output); warping at power-of-two
@@ -404,6 +408,24 @@ class Cropper:
             windows = None
 
         f = len(indices)
+        # Chunk huge face sets: the warp's window gather materializes
+        # (F, Ho, Wo, 2, 2, 3) f32, so an unbounded power-of-two bucket can
+        # exceed HBM outright (a 1024-faces/image crowd at 256² output
+        # builds a 32 GB program).  max_warp_chunk bounds the per-dispatch
+        # working set (~1.6 GB at the default 512 × 256²).
+        chunk = self.max_warp_chunk
+        if f > chunk:
+            parts = [
+                self._warp_uniform(
+                    images,
+                    padding,
+                    indices[s : s + chunk],
+                    matrices[s : s + chunk],
+                )
+                for s in range(0, f, chunk)
+            ]
+            return np.concatenate(parts, axis=0)
+
         fb = self._face_bucket(f)
         mats = np.concatenate(
             [matrices, np.tile(np.eye(2, 3, dtype=np.float32), (fb - f, 1, 1))]
@@ -440,26 +462,31 @@ class Cropper:
             local_idx = np.array(
                 [remap[int(indices[i])] for i in face_ids], np.int32
             )
-            # Pad the face dimension to a power-of-two bucket: NMS/match
-            # counts vary per batch, and warp_affine_batch compiles one
-            # program per concrete face count otherwise.
-            f = len(face_ids)
-            fb = self._face_bucket(f)
-            mats = np.concatenate(
-                [
-                    matrices[face_ids],
-                    np.tile(np.eye(2, 3, dtype=np.float32), (fb - f, 1, 1)),
-                ]
-            ).astype(np.float32)
-            local_idx = np.concatenate([local_idx, np.zeros(fb - f, np.int32)])
-            out = warp_affine_batch(
-                stack,
-                mats,
-                local_idx.astype(np.int32),
-                self.output_size,
-                self.padding,
-            )
-            crops[face_ids] = np.asarray(to_uint8(out))[:f]
+            # Pad the face dimension to a power-of-two bucket (bounded by
+            # max_warp_chunk — see _warp_uniform): NMS/match counts vary per
+            # batch, and warp_affine_batch compiles one program per concrete
+            # face count otherwise.
+            for s in range(0, len(face_ids), self.max_warp_chunk):
+                sub = face_ids[s : s + self.max_warp_chunk]
+                f = len(sub)
+                fb = self._face_bucket(f)
+                mats = np.concatenate(
+                    [
+                        matrices[sub],
+                        np.tile(np.eye(2, 3, dtype=np.float32), (fb - f, 1, 1)),
+                    ]
+                ).astype(np.float32)
+                sub_idx = np.concatenate(
+                    [local_idx[s : s + self.max_warp_chunk], np.zeros(fb - f, np.int32)]
+                )
+                out = warp_affine_batch(
+                    stack,
+                    mats,
+                    sub_idx.astype(np.int32),
+                    self.output_size,
+                    self.padding,
+                )
+                crops[sub] = np.asarray(to_uint8(out))[:f]
         return crops
 
     # ------------------------------------------------------------------

@@ -419,10 +419,23 @@ class RRDBNet:
             return self._enhance_s2d(self.params, self._s2d_params(), imgs)
         return self._enhance(self.params, imgs)
 
+    #: Pixel-count ceiling for the ws2d trunk.  Its source-grouped wide conv
+    #: outputs (384/320/256/192/128 channels, f32 until the stage sums) make
+    #: the per-block live set ~10x the plain trunk's; measured on a 16 GB
+    #: v5e, 1024² inputs OOM (XLA reports a 32 GB program) while 512² runs
+    #: comfortably.  Above the ceiling the plain trunk executes instead
+    #: (validated at 1024²).  Tunable per instance for bigger-HBM parts.
+    ws2d_max_pixels: int = 512 * 512 * 5 // 4
+
     def _mode_for_shape(self, h: int, w: int) -> str:
         """Resolves the trunk mode against the batch's shape constraints
-        (ws2d needs even W; full s2d needs both dims even)."""
-        if self.trunk_mode == "ws2d" and w % 2 == 0:
+        (ws2d needs even W and bounded size; full s2d needs both dims
+        even)."""
+        if (
+            self.trunk_mode == "ws2d"
+            and w % 2 == 0
+            and h * w <= self.ws2d_max_pixels
+        ):
             return "ws2d"
         if self.trunk_mode == "s2d" and h % 2 == 0 and w % 2 == 0:
             return "s2d"

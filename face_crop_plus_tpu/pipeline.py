@@ -323,6 +323,40 @@ class FusedPipeline:
         )
         return to_uint8(out), ok
 
+    #: Faces per crop dispatch (the warp's window gather materializes
+    #: (F, Ho, Wo, 2, 2, 3) f32 — ~1.6 GB at 512 × 256²; an unbounded
+    #: bucket from a crowd batch can exceed HBM outright).
+    max_warp_chunk: int = 512
+
+    def _crop_selected_chunked(self, imgs, face_lm, keep: np.ndarray):
+        """Runs :meth:`_crop_selected` over ``keep`` in bounded chunks.
+
+        Returns host crops (F, Ho, Wo, 3), ok mask (F,), and the device
+        crop array when a single dispatch covered everything (else None —
+        the parser handoff only applies to the common small-face-count
+        case)."""
+        f = len(keep)
+        chunk = self.max_warp_chunk
+        crops_parts, ok_parts, dev_handle = [], [], None
+        one_dispatch = f <= chunk
+        for s in range(0, f, chunk):
+            sub = keep[s : s + chunk]
+            bucket = self._pow2_bucket(len(sub))
+            sel = np.full(bucket, sub[-1], np.int32)
+            sel[: len(sub)] = sub
+            dev_crops, dev_ok = self._crop_selected(
+                imgs, face_lm, jnp.asarray(sel)
+            )
+            if one_dispatch:
+                dev_handle = dev_crops
+            crops_parts.append(np.asarray(dev_crops)[: len(sub)])
+            ok_parts.append(np.asarray(dev_ok)[: len(sub)])
+        return (
+            np.concatenate(crops_parts),
+            np.concatenate(ok_parts),
+            dev_handle,
+        )
+
     def _empty_result(self, return_device_crops: bool):
         empty = np.zeros((0,) + self.output_size[::-1] + (3,), np.uint8)
         lm0 = np.zeros((0, 5, 2), np.float32)
@@ -388,17 +422,13 @@ class FusedPipeline:
 
         plain_pos = np.nonzero(~is_gated)[0]
         if len(plain_pos):
-            sel = np.full(
-                self._pow2_bucket(len(plain_pos)), keep[plain_pos[-1]], np.int32
+            crops_p, ok_p, handle = self._crop_selected_chunked(
+                imgs, dev_face_lm, keep[plain_pos]
             )
-            sel[: len(plain_pos)] = keep[plain_pos]
-            dev_crops, dev_ok = self._crop_selected(
-                imgs, dev_face_lm, jnp.asarray(sel)
-            )
-            crops_all[plain_pos] = np.asarray(dev_crops)[: len(plain_pos)]
-            ok_all[plain_pos] = np.asarray(dev_ok)[: len(plain_pos)]
+            crops_all[plain_pos] = crops_p
+            ok_all[plain_pos] = ok_p
             if len(plain_pos) == len(keep):
-                dev_handle = dev_crops
+                dev_handle = handle
 
         gated_pos = np.nonzero(is_gated)[0]
         if len(gated_pos):
@@ -411,36 +441,46 @@ class FusedPipeline:
             # jitted estimate→warp program (:meth:`_crop_gated`) — keeping
             # this off the eager path matters on remote/tunneled devices
             # where every eager dispatch is a round trip.
-            g, f = len(gated), len(gated_pos)
-            gb, fb = self._pow2_bucket(g), self._pow2_bucket(f)
+            g = len(gated)
+            gb = self._pow2_bucket(g)
             if gb > g:
                 enhanced = jnp.concatenate(
                     [enhanced, jnp.repeat(enhanced[-1:], gb - g, axis=0)]
                 )
             lm_interim = (face_lm[gated_pos] * scale).astype(np.float32)
-            lm_pad = np.concatenate(
-                [lm_interim, np.tile(lm_interim[-1:], (fb - f, 1, 1))]
-            )
             local_of_img = {int(gi): j for j, gi in enumerate(gated)}
-            local_idx = np.fromiter(
+            local_all = np.fromiter(
                 (local_of_img[int(indices[p])] for p in gated_pos),
                 np.int32,
-                count=f,
-            )
-            local_idx = np.concatenate(
-                [local_idx, np.full(fb - f, local_idx[-1], np.int32)]
+                count=len(gated_pos),
             )
             t, _b, l, _r = pad
             hh, ww = ih - pad[0] - pad[1], iw - pad[2] - pad[3]
             window = np.array([t, l, hh, ww], np.int32)
-            out_g, ok_g = self._crop_gated(
-                enhanced,
-                jnp.asarray(lm_pad),
-                jnp.asarray(local_idx),
-                jnp.asarray(window),
-            )
-            crops_all[gated_pos] = np.asarray(out_g)[:f]
-            ok_all[gated_pos] = np.asarray(ok_g)[:f]
+            # Faces warp in bounded chunks (same HBM rationale as
+            # _crop_selected_chunked).
+            for s in range(0, len(gated_pos), self.max_warp_chunk):
+                pos = gated_pos[s : s + self.max_warp_chunk]
+                f = len(pos)
+                fb = self._pow2_bucket(f)
+                lm_sub = lm_interim[s : s + self.max_warp_chunk]
+                lm_pad = np.concatenate(
+                    [lm_sub, np.tile(lm_sub[-1:], (fb - f, 1, 1))]
+                )
+                local_idx = np.concatenate(
+                    [
+                        local_all[s : s + self.max_warp_chunk],
+                        np.full(fb - f, local_all[s], np.int32),
+                    ]
+                )
+                out_g, ok_g = self._crop_gated(
+                    enhanced,
+                    jnp.asarray(lm_pad),
+                    jnp.asarray(local_idx),
+                    jnp.asarray(window),
+                )
+                crops_all[pos] = np.asarray(out_g)[:f]
+                ok_all[pos] = np.asarray(ok_g)[:f]
 
         crops = crops_all[ok_all]
         face_lm = face_lm[ok_all]
@@ -541,31 +581,20 @@ class FusedPipeline:
                 return (empty, lm0, idx0, None) if return_device_crops else (
                     empty, lm0, idx0)
 
-            # Pad the kept set to a power-of-two bucket (bounded program
-            # count); padding rows repeat the last kept slot and are
-            # dropped below.
-            bucket = 1
-            while bucket < len(keep):
-                bucket *= 2
-            sel = np.full(bucket, keep[-1], np.int32)
-            sel[: len(keep)] = keep
-            dev_crops, dev_ok = self._crop_selected(
-                imgs, dev_face_lm, jnp.asarray(sel)
+            # Warp the kept set in bounded power-of-two chunks; padding rows
+            # repeat the last kept slot and are dropped below.
+            crops_k, ok, dev_handle = self._crop_selected_chunked(
+                imgs, dev_face_lm, keep
             )
-            for arr in (dev_crops, dev_ok, dev_face_lm):
-                try:
-                    arr.copy_to_host_async()
-                except (AttributeError, RuntimeError):  # pragma: no cover
-                    pass
-            ok = np.asarray(dev_ok)[: len(keep)]
-            crops = np.asarray(dev_crops)[: len(keep)][ok]
+            crops = crops_k[ok]
             face_lm = np.asarray(dev_face_lm)[keep][ok]
             indices = (keep[ok] // k).astype(np.int64)
             if not return_device_crops:
                 return crops, face_lm, indices
             # The crop program's output is already compacted; hand it to the
-            # parser unless degenerate transforms punched holes in it (rare).
-            dev_compact = dev_crops if ok.all() else None
+            # parser unless degenerate transforms punched holes in it (rare)
+            # or the set needed multiple chunks.
+            dev_compact = dev_handle if ok.all() else None
             return crops, face_lm, indices, dev_compact
 
         dev_crops, face_lm, dev_valid = out[0], out[1], out[2]

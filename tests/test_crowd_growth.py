@@ -158,3 +158,29 @@ def test_no_growth_when_caps_suffice():
     assert len(landmarks) == N_FACES
     assert det.detect_calls == 1  # single dispatch, no retry
     assert (det.pre_topk, det.max_faces) == (256, 128)
+
+
+def test_warp_chunking_matches_single_dispatch(rng):
+    """max_warp_chunk bounds the per-dispatch window-gather working set (a
+    1024-faces/image crowd at 256² would build a 32 GB program otherwise);
+    chunked output must equal the single-dispatch result."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        c1 = Cropper(output_size=16, det_threshold=None, enh_threshold=None,
+                     landmarks=None, device="cpu")
+        c2 = Cropper(output_size=16, det_threshold=None, enh_threshold=None,
+                     landmarks=None, device="cpu")
+    c2.max_warp_chunk = 16
+
+    images = rng.integers(0, 255, (2, 40, 40, 3), np.uint8)
+    faces = 70
+    indices = np.asarray(rng.integers(0, 2, faces), np.int64)
+    mats = np.tile(np.eye(2, 3, dtype=np.float32), (faces, 1, 1))
+    mats[:, :, 2] = rng.uniform(0, 10, (faces, 2))
+
+    a = c1._warp_uniform(images, None, indices, mats)
+    b = c2._warp_uniform(images, None, indices, mats)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (faces, 16, 16, 3)

@@ -116,3 +116,11 @@ def test_trunk_mode_validation_and_alias():
         RRDBNet(num_blocks=1, trunk_mode="nope")
     m = RRDBNet(num_blocks=1, use_s2d=True)
     assert m.trunk_mode == "s2d" and m.use_s2d
+
+
+def test_ws2d_size_ceiling_falls_back_to_plain():
+    m = RRDBNet(num_blocks=1, trunk_mode="ws2d")
+    assert m._mode_for_shape(512, 512) == "ws2d"
+    assert m._mode_for_shape(1024, 1024) == "plain"  # would OOM a 16GB chip
+    m.ws2d_max_pixels = 1024 * 1024
+    assert m._mode_for_shape(1024, 1024) == "ws2d"
