@@ -75,7 +75,26 @@ def make_dataset(n: int) -> str:
     return d
 
 
-MODE = os.environ.get("FCPT_BENCH_MODE", "detect")  # "detect" | "landmarks"
+MODE = os.environ.get("FCPT_BENCH_MODE", "detect")  # detect|landmarks|enhance|parse|scale
+
+#: Compilation accounting (VERDICT r2 #1): every backend compile this
+#: process performs is counted and timed via jax.monitoring, and the
+#: warmup pass is reported separately in the output JSON.
+COMPILE_STATS = {"programs": 0, "backend_s": 0.0, "warmup_s": None}
+
+
+def _install_compile_listener():
+    try:
+        from jax import monitoring
+
+        def _on_event(event, duration, **kw):
+            if event == "/jax/core/compile/backend_compile_duration":
+                COMPILE_STATS["programs"] += 1
+                COMPILE_STATS["backend_s"] += duration
+
+        monitoring.register_event_duration_secs_listener(_on_event)
+    except Exception:  # pragma: no cover
+        pass
 
 
 def _write_landmarks(max_n: int) -> str:
@@ -131,7 +150,12 @@ def measure(device_str: str, n_images: int) -> float:
     out_warm = warm_dir + "_out"
     t0 = time.perf_counter()
     cropper.process_dir(warm_dir, out_warm, desc=None)
-    log(f"[{device_str}] compile+warmup batch: {time.perf_counter() - t0:.1f}s")
+    warmup_s = time.perf_counter() - t0
+    if COMPILE_STATS["warmup_s"] is None:
+        COMPILE_STATS["warmup_s"] = round(warmup_s, 1)
+    log(f"[{device_str}] compile+warmup batch: {warmup_s:.1f}s "
+        f"({COMPILE_STATS['programs']} programs, "
+        f"{COMPILE_STATS['backend_s']:.1f}s backend compile)")
 
     data_dir = make_dataset(n_images)
     out_dir = data_dir + "_out"
@@ -165,7 +189,81 @@ def measure(device_str: str, n_images: int) -> float:
     fps = ordered[passes // 2] if passes % 2 else (
         (ordered[passes // 2 - 1] + ordered[passes // 2]) / 2)
     measure.last_passes = fps_list
+    measure.last_cropper = cropper
     return fps
+
+
+def peak_flops_per_s() -> float | None:
+    """Peak bf16 FLOP/s of the attached TPU generation (public specs)."""
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    table = [
+        ("v5 lite", 394e12), ("v5litepod", 394e12), ("v5e", 394e12),
+        ("v5p", 459e12), ("v6e", 918e12), ("v6", 918e12),
+        ("v4", 275e12), ("v3", 123e12), ("v2", 45e12),
+    ]
+    for key, val in table:
+        if key in kind:
+            return val
+    return None
+
+
+def device_profile(cropper) -> dict | None:
+    """FLOPs / device-exec time / MFU of the fused detect program.
+
+    ``cost_analysis()`` gives the compiled program's FLOP count; device
+    execution time is measured by enqueueing k dispatches back-to-back
+    (async) and blocking once — the device runs them serially, so the
+    amortized per-dispatch wall time approaches pure program execution.
+    MFU is vs the chip's public peak (detection is conv/matmul-dominated).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fp = getattr(cropper, "_fused", None)
+    if fp is None:
+        return None
+    det = fp.det
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (BATCH,) + SRC_HW + (3,), np.uint8))
+    if fp.device is not None:
+        imgs = jax.device_put(imgs, fp.device)
+    kw = det._detect_args()
+    ih, iw = RESIZE[1], RESIZE[0]
+    try:
+        # Access through the class: the jit wrapper's ``lower`` does not
+        # survive instance binding, so pass ``fp`` explicitly.
+        compiled = type(fp)._run.lower(fp, det.params, imgs, ih, iw, **kw).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+    except Exception as e:  # pragma: no cover - backend-dependent API
+        log(f"cost_analysis unavailable: {e}")
+        return None
+
+    out = fp._run(det.params, imgs, ih, iw, **kw)
+    jax.block_until_ready(out)
+    k = 10
+    t0 = time.perf_counter()
+    for _ in range(k):
+        out = fp._run(det.params, imgs, ih, iw, **kw)
+    jax.block_until_ready(out)
+    exec_s = (time.perf_counter() - t0) / k
+
+    peak = peak_flops_per_s()
+    prof = {
+        "batch": BATCH,
+        "program_gflops": round(flops / 1e9, 1),
+        "device_exec_s": round(exec_s, 4),
+        "achieved_tflops": round(flops / exec_s / 1e12, 2),
+        "mfu": round(flops / exec_s / peak, 4) if peak else None,
+        "peak_tflops_assumed": round(peak / 1e12) if peak else None,
+        "device_faces_per_s": round(BATCH / exec_s, 1),
+    }
+    log(f"device profile: {prof}")
+    return prof
 
 
 def cpu_baseline() -> float:
@@ -185,24 +283,51 @@ def cpu_baseline() -> float:
 
 
 def main():
+    _install_compile_listener()
     import jax
 
     platforms = {d.platform for d in jax.devices()}
     accel = "tpu" if "tpu" in platforms else sorted(platforms)[0]
     log(f"devices: {jax.devices()}")
 
+    if MODE not in ("detect", "landmarks"):
+        from tools.bench_configs import run_mode
+
+        print(json.dumps(run_mode(MODE)))
+        return
+
+    profile = None
     if accel == "cpu":
         value = measure("cpu", n_images=32)
         value_passes = getattr(measure, "last_passes", None)
-        base = value
+        same_pipeline_cpu = value
     else:
         n = 1024 if MODE == "landmarks" else 256
         value = measure(accel, n_images=n)
         # Snapshot before cpu_baseline() runs measure() again and overwrites
         # the per-pass list with the CPU baseline's.
         value_passes = getattr(measure, "last_passes", None)
-        base = cpu_baseline() if MODE == "detect" else None
+        if MODE == "detect":
+            profile = device_profile(getattr(measure, "last_cropper", None))
+        same_pipeline_cpu = cpu_baseline() if MODE == "detect" else None
 
+    # The BASELINE.md-mandated denominator: the *executing reference* library
+    # measured on this machine's CPU (tools/ref_baseline.py, cached).
+    ref_cpu = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import ref_baseline
+
+        ref_data = ref_baseline.run()
+        ref_cpu = (
+            ref_data.get("detect", {}).get("faces_per_s")
+            if MODE == "detect"
+            else ref_data.get("landmarks_e2e", {}).get("faces_per_s")
+        )
+    except Exception as e:
+        log(f"reference baseline unavailable: {e}")
+
+    base = ref_cpu or same_pipeline_cpu
     metric = (
         "faces cropped/sec/chip (e2e decode+detect@1024+align+crop+encode)"
         if MODE == "detect"
@@ -215,8 +340,17 @@ def main():
                 "value": round(value, 2),
                 "unit": "faces/sec/chip",
                 "vs_baseline": round(value / base, 2) if base else None,
+                "baseline": {
+                    "reference_cpu_faces_per_s": ref_cpu,
+                    "same_pipeline_cpu_faces_per_s": same_pipeline_cpu,
+                    "denominator": "reference_cpu" if ref_cpu else "same_pipeline_cpu",
+                },
                 "method": "median of N e2e passes",
                 "passes": value_passes,
+                "warmup_s": COMPILE_STATS["warmup_s"],
+                "compiled_programs": COMPILE_STATS["programs"],
+                "backend_compile_s": round(COMPILE_STATS["backend_s"], 1),
+                "device_profile": profile,
             }
         )
     )

@@ -30,27 +30,22 @@ from .models.weights import (
 )
 
 def _init_reference(model: str) -> dict:
-    """Random-init params for structural verification."""
-    import jax.numpy as jnp
+    """Random-init params for structural verification (abstract trace)."""
+    from .ops.nn import init_structure
 
-    from .ops.nn import Params
-
-    p = Params(rng=np.random.default_rng(0))
     if model == "retinaface":
         from .models.detection import retinaface_forward
 
-        retinaface_forward(p, jnp.zeros((1, 32, 32, 3), jnp.float32))
+        return init_structure(retinaface_forward, (1, 32, 32, 3), 0)
     elif model == "rrdb":
         from .models.enhancement import rrdbnet_forward
 
-        rrdbnet_forward(p, jnp.zeros((1, 16, 16, 3), jnp.float32))
+        return init_structure(rrdbnet_forward, (1, 16, 16, 3), 0)
     elif model == "bisenet":
         from .models.parsing import bisenet_forward
 
-        bisenet_forward(p, jnp.zeros((1, 64, 64, 3), jnp.float32))
-    else:
-        raise ValueError(f"Unknown model: {model}")
-    return {k: np.asarray(v) for k, v in p.data.items()}
+        return init_structure(bisenet_forward, (1, 64, 64, 3), 0)
+    raise ValueError(f"Unknown model: {model}")
 
 
 def verify_structure(converted: dict, model: str) -> list[str]:

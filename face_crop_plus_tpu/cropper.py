@@ -200,6 +200,12 @@ class Cropper:
         #: a run; the reference offers no observability beyond progress bars).
         self.stats = PipelineStats()
 
+        # Persistent XLA program cache: reruns of the same configuration
+        # skip backend compilation entirely (see utils/cache.py).
+        from .utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
         self._device = _resolve_device(self.device)
         self._init_models()
         self._init_landmarks_target()
@@ -522,9 +528,19 @@ class Cropper:
             return
         os.makedirs(output_dir, exist_ok=True)
         seen: defaultdict[str, int] = defaultdict(int)
+        writes = []
         for face, source in zip(faces, file_names):
-            out_name = self._crop_file_name(source, seen[source])
+            writes.append((seen[source], source, face))
             seen[source] += 1
+        # Occurrence 0 is written LAST (stable partition): its existence is
+        # the resume marker (``process_dir(skip_existing=True)`` checks
+        # occurrence 0 only), so under strategy="all" it must imply the
+        # source's other faces already landed — otherwise a kill between
+        # face _0 and face _1 would silently lose _1+ on every resume.
+        for occurrence, source, face in (
+            [w for w in writes if w[0] != 0] + [w for w in writes if w[0] == 0]
+        ):
+            out_name = self._crop_file_name(source, occurrence)
             imwrite(os.path.join(output_dir, out_name), np.asarray(face))
 
     def save_groups(

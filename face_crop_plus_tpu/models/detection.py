@@ -184,6 +184,11 @@ class RetinaFace:
         self.variance = list(_VARIANCES)
         self.max_faces = int(max_faces)
         self.pre_topk = int(pre_topk)
+        #: Grow-on-demand ceiling for ``pre_topk`` (see
+        #: :data:`_PRE_TOPK_CEILING`).  Raise it when exact parity with the
+        #: uncapped reference matters more than the quadratic NMS memory
+        #: (e.g. crowd scenes with >1024 above-threshold candidates).
+        self.pre_topk_ceiling = _PRE_TOPK_CEILING
         #: Grow ``pre_topk``/``max_faces`` on demand when a batch overflows
         #: them (one recompile per grown cap; doubling keeps the program
         #: count logarithmic).  Off → a warning marks potential divergence
@@ -216,10 +221,9 @@ class RetinaFace:
 
     @staticmethod
     def _random_init() -> dict:
-        p = Params(rng=np.random.default_rng(0))
-        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        retinaface_forward(p, x)
-        return {k: np.asarray(v) for k, v in p.data.items()}
+        from ..ops.nn import init_structure
+
+        return init_structure(retinaface_forward, (1, 64, 64, 3), 0)
 
     @partial(
         jax.jit,
@@ -318,7 +322,7 @@ class RetinaFace:
         from ..utils.batching import next_pow2
 
         k = min(args["pre_topk"], n_anchors)
-        k_ceiling = min(_PRE_TOPK_CEILING, n_anchors)
+        k_ceiling = min(self.pre_topk_ceiling, n_anchors)
         if n_above > k:
             if self.auto_grow and k < k_ceiling:
                 new["pre_topk"] = min(next_pow2(n_above, k), k_ceiling)

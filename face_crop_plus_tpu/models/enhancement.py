@@ -187,13 +187,78 @@ def _dense_block_ws2d(p: Params, name: str, x: jnp.ndarray) -> jnp.ndarray:
     return x5 * jnp.asarray(0.2, x.dtype) + x
 
 
+#: Rows of exact halo a stripped dense block needs: 5 stacked 3x3 stride-1
+#: convs extend the receptive field by one row per conv.
+_DENSE_HALO = 5
+
+
+def _dense_block_ws2d_strips(
+    p: Params, name: str, x: jnp.ndarray, strip_rows: int
+) -> jnp.ndarray:
+    """H-strip execution of :func:`_dense_block_ws2d` — exact, memory-bounded.
+
+    The grouped block's wide f32 conv outputs (384/320/256/192/128 channels)
+    make its live set ~10x the plain trunk's, OOMing 16 GB HBM at 1024²
+    (VERDICT r2 weak #3).  Stacked 3x3 stride-1 convs have a 1-row/conv
+    receptive field, so running the block over horizontal strips with a
+    :data:`_DENSE_HALO`-row halo is *exact*:
+
+    * Strip s outputs original rows ``[p_s, p_s + R)`` with
+      ``p_s = min(s*R, H-R)`` (the last strip is shifted up; overlapping
+      rows recompute identical values).
+    * Its input window starts at ``a_s = clip(p_s - halo, 0, H - L)`` with
+      ``L = R + 2*halo``: interior cut edges carry ``halo`` rows whose
+      progressive zero-pad corruption (one row per conv) never reaches the
+      output rows, while windows touching the true image edge start/end
+      exactly there, so the convs' own zero padding applies — bit-identical
+      to the unstripped block.
+    * ``lax.map`` runs strips *sequentially* in one compiled body: peak
+      memory is one strip's live set, not the full image's.
+    """
+    n, h, w2, c = x.shape
+    r = strip_rows
+    halo = _DENSE_HALO
+    length = r + 2 * halo
+    if h <= length:
+        return _dense_block_ws2d(p, name, x)
+
+    n_strips = -(-h // r)
+    p_s = np.minimum(np.arange(n_strips) * r, h - r)
+    a_s = np.clip(p_s - halo, 0, h - length)
+    o_s = p_s - a_s
+
+    def body(args):
+        a, o = args
+        xs = jax.lax.dynamic_slice_in_dim(x, a, length, axis=1)
+        ys = _dense_block_ws2d(p, name, xs)
+        return jax.lax.dynamic_slice_in_dim(ys, o, r, axis=1)
+
+    ys = jax.lax.map(
+        body, (jnp.asarray(a_s, jnp.int32), jnp.asarray(o_s, jnp.int32))
+    )  # (S, N, R, W2, C)
+
+    # Reassemble: strips 0..S-2 tile [0, (S-1)*R); the last strip covers
+    # [H-R, H) — keep its trailing H-(S-1)*R rows.
+    main = jnp.moveaxis(ys[:-1], 0, 1).reshape(n, (n_strips - 1) * r, w2, c)
+    tail_rows = h - (n_strips - 1) * r
+    tail = ys[-1][:, r - tail_rows :]
+    return jnp.concatenate([main, tail], axis=1)
+
+
 def rrdbnet_forward_ws2d(
-    p: Params, p_ws2d: Params, x: jnp.ndarray, num_blocks: int = _NUM_BLOCKS
+    p: Params,
+    p_ws2d: Params,
+    x: jnp.ndarray,
+    num_blocks: int = _NUM_BLOCKS,
+    strip_rows: int | None = None,
 ) -> jnp.ndarray:
     """RRDBNet forward with the trunk in W-s2d source-grouped form (even W).
 
     Mathematically identical to :func:`rrdbnet_forward`; the production TPU
-    path (measured 1.75x the plain trunk at 512², see STATUS.md).
+    path (measured 1.75x the plain trunk at 512², see STATUS.md).  With
+    ``strip_rows`` the dense blocks execute in H-strips with exact halos
+    (:func:`_dense_block_ws2d_strips`), bounding the live set so large
+    interims (the detect-mode 1024² default) keep the fast trunk.
     """
     fea0 = conv2d(p, "conv_first", x, _NF, bias=True)
     t = space_to_depth_w(fea0)
@@ -201,7 +266,12 @@ def rrdbnet_forward_ws2d(
         name = f"RRDB_trunk.{i}"
         out = t
         for d in (1, 2, 3):
-            out = _dense_block_ws2d(p_ws2d, f"{name}.RDB{d}", out)
+            if strip_rows is None:
+                out = _dense_block_ws2d(p_ws2d, f"{name}.RDB{d}", out)
+            else:
+                out = _dense_block_ws2d_strips(
+                    p_ws2d, f"{name}.RDB{d}", out, strip_rows
+                )
         t = out * jnp.asarray(0.2, x.dtype) + t
     fea = fea0 + depth_to_space_w(conv2d(p_ws2d, "trunk_conv", t, _NF * 2, bias=True))
     return _tail(p, fea)
@@ -314,9 +384,9 @@ class RRDBNet:
         nb = self.num_blocks
 
         def init():
-            p = Params(rng=np.random.default_rng(2))
-            rrdbnet_forward(p, jnp.zeros((1, 16, 16, 3), jnp.float32), nb)
-            return {k: np.asarray(v) for k, v in p.data.items()}
+            from ..ops.nn import init_structure
+
+            return init_structure(rrdbnet_forward, (1, 16, 16, 3), 2, nb)
 
         return init
 

@@ -204,9 +204,9 @@ class BiSeNet:
 
     @staticmethod
     def _random_init() -> dict:
-        p = Params(rng=np.random.default_rng(1))
-        bisenet_forward(p, jnp.zeros((1, 64, 64, 3), jnp.float32))
-        return {k: np.asarray(v) for k, v in p.data.items()}
+        from ..ops.nn import init_structure
+
+        return init_structure(bisenet_forward, (1, 64, 64, 3), 1)
 
     def __hash__(self):
         return id(self)

@@ -55,7 +55,11 @@ class Params:
             val = np.ones(shape)
         else:  # pragma: no cover
             raise ValueError(kind)
-        self.data[key] = jnp.asarray(val, jnp.float32)
+        # Host numpy, not a device array: init-mode params are a structural
+        # artifact (converter verification, random-init fallback) and must
+        # not pay a host->device transfer each — model constructors upload
+        # the final dict once.
+        self.data[key] = np.asarray(val, np.float32)
 
     def get(self, key: str, shape: tuple[int, ...], kind: str) -> jnp.ndarray:
         if key not in self.data:
@@ -63,6 +67,25 @@ class Params:
                 raise KeyError(f"Missing parameter: {key}")
             self._create(key, shape, kind)
         return self.data[key]
+
+
+def init_structure(forward, input_shape: tuple[int, ...], seed: int, *args) -> dict:
+    """Materializes a model's full random-init parameter dict — abstractly.
+
+    Tracing the apply function with :func:`jax.eval_shape` drives every
+    :meth:`Params.get` call (creating each weight as host numpy) while
+    executing *zero* ops: an eager probe forward would compile ~200 tiny
+    one-op programs and, on a remote/tunneled accelerator, pay a round trip
+    per op.  ``args`` are extra static arguments after the input batch.
+    """
+    import jax
+
+    p = Params(rng=np.random.default_rng(seed))
+    jax.eval_shape(
+        lambda x: forward(p, x, *args),
+        jax.ShapeDtypeStruct(input_shape, jnp.float32),
+    )
+    return dict(p.data)
 
 
 

@@ -55,50 +55,84 @@ def imread_rgb(path: str) -> np.ndarray | None:
     raise RuntimeError("No image decoding backend available (cv2 or PIL).")
 
 
+def _tiff_orientation(d: bytes) -> int:
+    """Orientation from a TIFF block (EXIF APP1 payload past 'Exif\\0\\0')."""
+    import struct
+
+    bo = d[:2]
+    if bo == b"II":
+        u16, u32 = "<H", "<I"
+    elif bo == b"MM":
+        u16, u32 = ">H", ">I"
+    else:
+        return 1
+    (ifd_off,) = struct.unpack(u32, d[4:8])
+    (count,) = struct.unpack(u16, d[ifd_off : ifd_off + 2])
+    for e in range(count):
+        ent = ifd_off + 2 + 12 * e
+        (tag,) = struct.unpack(u16, d[ent : ent + 2])
+        if tag != 0x0112:
+            continue
+        # Respect the entry's declared type: orientation is normally SHORT
+        # (3) but writers emitting LONG (4) exist; anything else is treated
+        # as unparseable rather than misread.
+        (typ,) = struct.unpack(u16, d[ent + 2 : ent + 4])
+        (cnt,) = struct.unpack(u32, d[ent + 4 : ent + 8])
+        if cnt != 1:
+            return 1
+        if typ == 3:
+            (val,) = struct.unpack(u16, d[ent + 8 : ent + 10])
+        elif typ == 4:
+            (val,) = struct.unpack(u32, d[ent + 8 : ent + 12])
+        else:
+            return 1
+        return val if 1 <= val <= 8 else 1
+    return 1
+
+
 def jpeg_exif_orientation(path: str) -> int:
     """Reads the EXIF orientation tag (1-8) from a JPEG header, 1 on any
     parse failure.  Pure-Python scan of the APP1/TIFF structure — the
     native libjpeg decoder ignores EXIF, so its output must be transposed
-    to keep pixel parity with ``cv2.imread`` (which auto-orients)."""
+    to keep pixel parity with ``cv2.imread`` (which auto-orients).
+
+    Segment headers are streamed with seeks (no fixed read budget), so an
+    APP1 sitting after large APPn segments — multi-segment ICC profiles,
+    XMP — is still found; non-Exif APP1 segments (XMP) are skipped."""
     import struct
 
     try:
         with open(path, "rb") as f:
-            head = f.read(65536)
-        if head[:2] != b"\xff\xd8":
-            return 1
-        i = 2
-        while i + 4 <= len(head):
-            if head[i] != 0xFF:
+            if f.read(2) != b"\xff\xd8":
                 return 1
-            marker = head[i + 1]
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2
-                continue
-            (seg_len,) = struct.unpack(">H", head[i + 2 : i + 4])
-            if marker == 0xE1 and head[i + 4 : i + 10] == b"Exif\x00\x00":
-                tiff = i + 10
-                bo = head[tiff : tiff + 2]
-                if bo == b"II":
-                    u16, u32 = "<H", "<I"
-                elif bo == b"MM":
-                    u16, u32 = ">H", ">I"
-                else:
+            while True:
+                b = f.read(1)
+                if not b:
                     return 1
-                (ifd_off,) = struct.unpack(u32, head[tiff + 4 : tiff + 8])
-                ifd = tiff + ifd_off
-                (count,) = struct.unpack(u16, head[ifd : ifd + 2])
-                for e in range(count):
-                    ent = ifd + 2 + 12 * e
-                    (tag,) = struct.unpack(u16, head[ent : ent + 2])
-                    if tag == 0x0112:
-                        (val,) = struct.unpack(u16, head[ent + 8 : ent + 10])
-                        return val if 1 <= val <= 8 else 1
-                return 1
-            if marker == 0xDA:  # start of scan: no APP1 seen
-                return 1
-            i += 2 + seg_len
-        return 1
+                if b[0] != 0xFF:
+                    return 1
+                m = f.read(1)
+                while m == b"\xff":  # fill bytes before a marker
+                    m = f.read(1)
+                if not m:
+                    return 1
+                marker = m[0]
+                if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                    continue  # standalone markers carry no length
+                if marker == 0xDA:  # start of scan: no Exif APP1 seen
+                    return 1
+                ln = f.read(2)
+                if len(ln) < 2:
+                    return 1
+                (seg_len,) = struct.unpack(">H", ln)
+                if seg_len < 2:
+                    return 1
+                if marker == 0xE1:
+                    payload = f.read(seg_len - 2)
+                    if payload[:6] == b"Exif\x00\x00":
+                        return _tiff_orientation(payload[6:])
+                    continue  # other APP1 (e.g. XMP): keep scanning
+                f.seek(seg_len - 2, 1)
     except Exception:
         return 1
 

@@ -73,8 +73,10 @@ def clean_names(
     filenames = os.listdir(input_dir)
     # Names not yet processed (case-insensitive): an in-place rename must
     # never land on one of these — os.rename would silently replace the
-    # other file's contents on POSIX.
-    pending = {f.lower() for f in filenames}
+    # other file's contents on POSIX.  A *multiset* of lowercased keys: two
+    # case-differing files share a key, and the guard must hold until every
+    # holder has been processed, not just the first.
+    pending = collections.Counter(f.lower() for f in filenames)
 
     if desc is not None:
         try:
@@ -85,7 +87,11 @@ def clean_names(
             pass
 
     for filename in filenames:
-        pending.discard(filename.lower())
+        key = filename.lower()
+        if pending[key] <= 1:
+            del pending[key]
+        else:
+            pending[key] -= 1
         name, ext = os.path.splitext(filename)
 
         if not name.isascii():

@@ -75,3 +75,51 @@ def test_read_images_native_matches_cv2_for_oriented_jpeg(tmp_path, rng):
     assert images[0].shape == want.shape  # rotated: (64, 48, 3)
     d = np.abs(images[0].astype(int) - want.astype(int))
     assert d.mean() < 1.0
+
+
+def test_orientation_found_after_large_appn_segment(tmp_path, rng):
+    """APP1 sitting beyond 64 KB of APPn (ICC/XMP-style) is still found."""
+    img = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.jpg")
+    _write_oriented_jpeg(p, img, 6)
+    with open(p, "rb") as f:
+        data = f.read()
+    # Splice a 64 KB APP2 (e.g. a fat ICC profile chunk) before the APP1.
+    app1 = data.index(b"\xff\xe1")
+    fat = b"\xff\xe2" + (65534).to_bytes(2, "big") + b"\x00" * 65532
+    with open(p, "wb") as f:
+        f.write(data[:app1] + fat + data[app1:])
+    assert jpeg_exif_orientation(p) == 6
+
+
+def test_orientation_after_xmp_app1(tmp_path, rng):
+    """A non-Exif APP1 (XMP) before the Exif APP1 is skipped, not mistaken."""
+    img = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.jpg")
+    _write_oriented_jpeg(p, img, 8)
+    with open(p, "rb") as f:
+        data = f.read()
+    app1 = data.index(b"\xff\xe1")
+    xmp_payload = b"http://ns.adobe.com/xap/1.0/\x00" + b"<x/>" * 16
+    xmp = b"\xff\xe1" + (len(xmp_payload) + 2).to_bytes(2, "big") + xmp_payload
+    with open(p, "wb") as f:
+        f.write(data[:app1] + xmp + data[app1:])
+    assert jpeg_exif_orientation(p) == 8
+
+
+def test_orientation_long_typed_entry(tmp_path):
+    """Writers emitting the orientation as a LONG (type 4) are honored."""
+    import struct
+
+    # Hand-build a minimal JPEG: SOI + Exif APP1 (one LONG orientation
+    # entry) + EOI; the parser never needs a scan to read the header.
+    tiff = b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+    tiff += struct.pack("<H", 1)  # one IFD entry
+    tiff += struct.pack("<HHI", 0x0112, 4, 1) + struct.pack("<I", 3)
+    tiff += struct.pack("<I", 0)  # next-IFD offset
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    p = str(tmp_path / "x.jpg")
+    with open(p, "wb") as f:
+        f.write(b"\xff\xd8" + app1 + b"\xff\xd9")
+    assert jpeg_exif_orientation(p) == 3

@@ -95,3 +95,20 @@ def test_inplace_collision_keeps_unchanged_files_name(tmp_path):
     assert names == ["a-1.jpg", "a.jpg"], names
     assert (tmp_path / "a.jpg").read_bytes() == b"plain"
     assert (tmp_path / "a-1.jpg").read_bytes() == b"umlaut"
+
+
+def test_pending_guard_survives_case_twins(tmp_path):
+    """Two case-differing pending files must each keep the rename guard.
+
+    'A.jpg' and 'a.jpg' share a lowercased key; processing the first twin
+    must not drop the guard while the second is still pending — otherwise
+    'ä.jpg' cleaning to 'a.jpg' could rename onto the unprocessed twin.
+    """
+    payloads = {"A.jpg": b"upper", "a.jpg": b"lower", "ä.jpg": b"umlaut"}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    clean_names(str(tmp_path), desc=None)
+    files = sorted(os.listdir(tmp_path))
+    contents = sorted((tmp_path / f).read_bytes() for f in files)
+    assert len(files) == 3
+    assert contents == sorted(payloads.values())  # every payload survives

@@ -71,6 +71,97 @@ def test_anchor_grid_matches_reference_priorbox(size):
 
 
 # ---------------------------------------------------------------------------
+# RetinaFace (the real reference module, vendored-faithful ResNet-50 backbone)
+# ---------------------------------------------------------------------------
+
+
+def _build_ref_retinaface(rng, strategy="all", vis=0.5):
+    """Constructs the executing reference RetinaFace with randomized weights.
+
+    The torchvision stub now provides a faithful ResNet-50 +
+    IntermediateLayerGetter (tests/refcompat.py), so the reference's own
+    ``retinaface.py:54-144`` constructs and runs — no hand-written double.
+    """
+    from face_crop_plus.models import RetinaFace as RefRF
+
+    torch.manual_seed(0)
+    tm = RefRF(strategy=strategy, vis=vis).eval()
+    _randomize_bn(tm, rng)
+    return tm
+
+
+def _our_retinaface_like(tm):
+    from face_crop_plus_tpu.models.detection import RetinaFace as OurRF
+
+    # auto_grow: the reference is uncapped; with random weights at vis=0.5
+    # thousands of anchors survive, so the caps must grow to cover them
+    # (exercising the growth policy as a bonus).
+    ours = OurRF(
+        strategy=tm.strategy, vis=tm.vis_threshold, auto_grow=True,
+        compute_dtype=jnp.float32,
+    )
+    ours.params = {
+        k: jnp.asarray(v) for k, v in convert_state_dict(tm.state_dict()).items()
+    }
+    # The reference is uncapped; let pre_topk grow past the crowd default so
+    # every above-threshold candidate survives to NMS, like retinaface.py.
+    ours.pre_topk_ceiling = 4096
+    ours._cap_warned = True
+    return ours
+
+
+def test_retinaface_real_reference_forward_parity(rng):
+    """Shared converted weights -> forward outputs agree (retinaface.py:112-144)."""
+    tm = _build_ref_retinaface(rng)
+    p = _to_params(tm)
+
+    from face_crop_plus_tpu.models.detection import retinaface_forward
+
+    x = rng.uniform(-120, 130, (2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        w_scores, w_loc, w_ldm = tm(torch.from_numpy(x))
+    g_scores, g_loc, g_ldm = retinaface_forward(
+        p, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(g_scores), w_scores.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_loc), w_loc.numpy(), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_ldm), w_ldm.numpy(), atol=2e-3)
+
+
+@pytest.mark.parametrize("strategy", ["all", "best", "largest"])
+def test_retinaface_real_reference_predict_crossval(rng, demo_dir, strategy):
+    """End-to-end ``predict`` vs the executing reference (retinaface.py:410-470).
+
+    Both sides: the same converted random weights, the same two demo images
+    (resized to 256² for CPU speed).  Landmarks and image indices must match
+    face-for-face (small float tolerance: our forward runs NHWC/XLA, the
+    reference NCHW/torch).
+    """
+    tm = _build_ref_retinaface(rng, strategy=strategy)
+    ours = _our_retinaface_like(tm)
+
+    files = sorted(os.listdir(demo_dir))[:2]
+    imgs = []
+    for f in files:
+        img = cv2.cvtColor(cv2.imread(os.path.join(demo_dir, f)), cv2.COLOR_BGR2RGB)
+        imgs.append(cv2.resize(img, (256, 256), interpolation=cv2.INTER_AREA))
+    imgs = np.stack(imgs)  # (2, 256, 256, 3) uint8 RGB
+
+    with torch.no_grad():
+        want_lm, want_idx = tm.predict(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2)).float()
+        )
+    got_lm, got_idx = ours.predict(imgs)
+
+    assert list(got_idx) == list(want_idx)
+    assert got_lm.shape == want_lm.shape
+    if len(want_idx):
+        # Same ordering contract (image order, then score order) on both
+        # sides; random-weight scores are continuous so ties don't occur.
+        np.testing.assert_allclose(got_lm, want_lm, atol=0.5)
+
+
+# ---------------------------------------------------------------------------
 # RRDBNet (the real 23-block reference module)
 # ---------------------------------------------------------------------------
 

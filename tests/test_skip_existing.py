@@ -127,3 +127,29 @@ def test_imwrite_atomic_no_temp_residue(tmp_path, rng):
     assert imwrite(str(path), img)
     assert sorted(os.listdir(tmp_path)) == ["x.png"]
     np.testing.assert_array_equal(imread_rgb(str(path)), img)
+
+
+def test_occurrence_zero_written_last(tmp_path, rng, monkeypatch):
+    """save_group writes face _0 after a source's other faces.
+
+    The resume filter treats the existence of occurrence 0 as "source
+    done"; under strategy="all" a kill between _0 and _1 would otherwise
+    silently lose _1+ on every resume (ADVICE r2).
+    """
+    import face_crop_plus_tpu.cropper as crmod
+
+    order = []
+    real = crmod.imwrite
+
+    def recording(path, img):
+        order.append(os.path.basename(path))
+        return real(path, img)
+
+    monkeypatch.setattr(crmod, "imwrite", recording)
+    c = Cropper(strategy="all", det_threshold=None, enh_threshold=None,
+                device="cpu")
+    faces = rng.integers(0, 255, (4, 8, 8, 3), dtype=np.uint8)
+    c.save_group(faces, ["s.jpg", "s.jpg", "s.jpg", "t.jpg"], str(tmp_path))
+    assert set(order) == {"s_0.jpg", "s_1.jpg", "s_2.jpg", "t_0.jpg"}
+    assert order.index("s_0.jpg") > order.index("s_1.jpg")
+    assert order.index("s_0.jpg") > order.index("s_2.jpg")

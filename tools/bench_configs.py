@@ -1,0 +1,199 @@
+"""One-command bench modes for BASELINE.json configs 3/4/5.
+
+Invoked through ``bench.py`` via ``FCPT_BENCH_MODE=enhance|parse|scale``;
+each mode emits the same one-line JSON schema as the headline bench.
+``vs_baseline`` is the *executing reference* measured on this machine's CPU
+(``tools/ref_baseline.py``, cached in ``.bench_ref_cpu.json``) — the
+BASELINE.md-mandated denominator.
+
+* ``enhance`` — config 3 metric: RRDB SR megapixels/sec/chip through the
+  production ``RRDBNet.enhance_images`` at 512² (normalize → 23-block trunk
+  → ×4 tail → bicubic ×0.25 undo → uint8), median of N chained passes.
+* ``parse``  — config 4 metric: faces parsed/sec/chip through
+  ``BiSeNet.predict`` (512² resize → forward → argmax + histogram grouping)
+  on 256² face crops, median of N.
+* ``scale``  — config 5: the full detect@1024²+align+crop pipeline over a
+  10k-image CelebA-style directory, one e2e pass (faces/sec/chip).
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for p in (_REPO, os.path.join(_REPO, "tools")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def _ref_baseline() -> dict:
+    """Cached reference-CPU numbers; measures them if absent (CPU-only work)."""
+    try:
+        import ref_baseline
+
+        return ref_baseline.run()
+    except Exception as e:  # pragma: no cover - reference tree unavailable
+        log(f"reference baseline unavailable: {e}")
+        return {}
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
+def run_enhance() -> dict:
+    import jax
+
+    from face_crop_plus_tpu.models.enhancement import RRDBNet
+    from face_crop_plus_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    size = int(os.environ.get("FCPT_BENCH_SR_SIZE", "512"))
+    passes = int(os.environ.get("FCPT_BENCH_PASSES", "5"))
+    dev = jax.devices()[0]
+    model = RRDBNet(device=dev)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, (1, size, size, 3), np.uint8)
+
+    t0 = time.perf_counter()
+    y = model.enhance_images(x)
+    warmup_s = time.perf_counter() - t0
+    log(f"[enhance] compile+first: {warmup_s:.1f}s (trunk_mode={model.trunk_mode})")
+
+    mps_list = []
+    for p in range(passes):
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            y = model.enhance_images(y)  # chained: forces execution
+        dt = (time.perf_counter() - t0) / reps
+        mps_list.append(round(size * size / dt / 1e6, 4))
+        log(f"[enhance] pass {p}: {dt * 1e3:.0f} ms/img -> {mps_list[-1]} MP/s")
+
+    value = _median(mps_list)
+    base = _ref_baseline().get("rrdb_sr", {}).get("mp_per_s")
+    return {
+        "metric": f"RRDB SR megapixels/sec/chip (e2e enhance_images at {size}²)",
+        "value": value,
+        "unit": "MP/s/chip",
+        "vs_baseline": round(value / base, 1) if base else None,
+        "baseline": {"reference_cpu_mp_per_s": base},
+        "method": f"median of {passes} chained passes",
+        "passes": mps_list,
+        "warmup_s": round(warmup_s, 1),
+    }
+
+
+def run_parse() -> dict:
+    import jax
+
+    from face_crop_plus_tpu.models.parsing import BiSeNet
+    from face_crop_plus_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    batch = int(os.environ.get("FCPT_BENCH_PARSE_BATCH", "64"))
+    passes = int(os.environ.get("FCPT_BENCH_PASSES", "5"))
+    dev = jax.devices()[0]
+    model = BiSeNet(
+        attr_groups={"glasses": [6]},
+        mask_groups={"glasses": [6], "skin": [1]},
+        batch_size=batch,
+        device=dev,
+    )
+    rng = np.random.default_rng(0)
+    faces = rng.integers(0, 255, (batch, 256, 256, 3), np.uint8)
+
+    t0 = time.perf_counter()
+    model.predict(faces)
+    warmup_s = time.perf_counter() - t0
+    log(f"[parse] compile+first: {warmup_s:.1f}s")
+
+    fps_list = []
+    for p in range(passes):
+        t0 = time.perf_counter()
+        model.predict(faces)
+        dt = time.perf_counter() - t0
+        fps_list.append(round(batch / dt, 1))
+        log(f"[parse] pass {p}: {batch} faces in {dt:.3f}s -> {fps_list[-1]} faces/s")
+
+    value = _median(fps_list)
+    base = _ref_baseline().get("bisenet_parse", {}).get("faces_per_s")
+    return {
+        "metric": "faces parsed/sec/chip (BiSeNet 512² + attr/mask grouping)",
+        "value": value,
+        "unit": "faces/sec/chip",
+        "vs_baseline": round(value / base, 1) if base else None,
+        "baseline": {"reference_cpu_faces_per_s": base},
+        "method": f"median of {passes} passes, batch {batch}",
+        "passes": fps_list,
+        "warmup_s": round(warmup_s, 1),
+    }
+
+
+def run_scale() -> dict:
+    """Config 5: 10k-image directory, one e2e pass of the headline pipeline."""
+    import bench
+
+    n = int(os.environ.get("FCPT_BENCH_SCALE_N", "10000"))
+    os.environ.setdefault("FCPT_BENCH_PASSES", "1")
+
+    import jax
+
+    platforms = {d.platform for d in jax.devices()}
+    accel = "tpu" if "tpu" in platforms else sorted(platforms)[0]
+
+    cropper = bench.build_cropper(accel)
+    warm_dir = bench.make_dataset(bench.BATCH)
+    t0 = time.perf_counter()
+    cropper.process_dir(warm_dir, warm_dir + "_out", desc=None)
+    warmup_s = time.perf_counter() - t0
+    log(f"[scale] compile+warmup: {warmup_s:.1f}s")
+
+    data = bench.make_dataset(n)
+    out = data + "_out"
+    t0 = time.perf_counter()
+    cropper.process_dir(data, out, desc=None)
+    dt = time.perf_counter() - t0
+    faces = len(os.listdir(out))
+    log(f"[scale] {faces} faces from {n} images in {dt:.1f}s")
+    log(cropper.stats.report())
+    for d in (warm_dir, warm_dir + "_out", data, out):
+        shutil.rmtree(d, ignore_errors=True)
+
+    value = round(faces / dt, 2)
+    base = _ref_baseline().get("detect", {}).get("faces_per_s")
+    return {
+        "metric": f"faces cropped/sec/chip (e2e {n}-image directory, "
+                  "decode+detect@1024+align+crop+encode)",
+        "value": value,
+        "unit": "faces/sec/chip",
+        "vs_baseline": round(value / base, 1) if base else None,
+        "baseline": {"reference_cpu_faces_per_s": base},
+        "method": f"single e2e pass over {n} images",
+        "elapsed_s": round(dt, 1),
+        "warmup_s": round(warmup_s, 1),
+    }
+
+
+def run_mode(mode: str) -> dict:
+    if mode == "enhance":
+        return run_enhance()
+    if mode == "parse":
+        return run_parse()
+    if mode == "scale":
+        return run_scale()
+    raise SystemExit(f"unknown FCPT_BENCH_MODE: {mode}")
+
+
+if __name__ == "__main__":
+    print(json.dumps(run_mode(os.environ.get("FCPT_BENCH_MODE", sys.argv[-1]))))
