@@ -422,14 +422,22 @@ class RRDBNet:
             lambda x: rrdbnet_forward_s2d(p, ps, x, self.num_blocks), images
         )
 
-    @partial(jax.jit, static_argnames=("self",))
+    @partial(jax.jit, static_argnames=("self", "strip_rows"))
     def _enhance_ws2d(
-        self, params: dict, params_ws2d: dict, images: jnp.ndarray
+        self,
+        params: dict,
+        params_ws2d: dict,
+        images: jnp.ndarray,
+        strip_rows: int | None = None,
     ) -> jnp.ndarray:
-        """Same contract as :meth:`_enhance`, trunk in W-s2d grouped form."""
+        """Same contract as :meth:`_enhance`, trunk in W-s2d grouped form.
+
+        ``strip_rows`` (static) runs the dense blocks in exact H-strips so
+        large interims fit HBM (see :func:`_dense_block_ws2d_strips`)."""
         p, ps = Params(params), Params(params_ws2d)
         return self._sr_uint8(
-            lambda x: rrdbnet_forward_ws2d(p, ps, x, self.num_blocks), images
+            lambda x: rrdbnet_forward_ws2d(p, ps, x, self.num_blocks, strip_rows),
+            images,
         )
 
     def _ws2d_params(self) -> dict:
@@ -482,38 +490,70 @@ class RRDBNet:
             self._params_s2d = params
         return self._params_s2d
 
-    def _run_sr(self, imgs: jnp.ndarray, mode: str) -> jnp.ndarray:
+    def _run_sr(
+        self, imgs: jnp.ndarray, mode: str, strip_rows: int | None = None
+    ) -> jnp.ndarray:
         if mode == "ws2d":
-            return self._enhance_ws2d(self.params, self._ws2d_params(), imgs)
+            return self._enhance_ws2d(
+                self.params, self._ws2d_params(), imgs, strip_rows
+            )
         if mode == "s2d":
             return self._enhance_s2d(self.params, self._s2d_params(), imgs)
         return self._enhance(self.params, imgs)
 
-    #: Pixel-count ceiling for the ws2d trunk.  Its source-grouped wide conv
-    #: outputs (384/320/256/192/128 channels, f32 until the stage sums) make
-    #: the per-block live set ~10x the plain trunk's; measured on a 16 GB
-    #: v5e, 1024² inputs OOM (XLA reports a 32 GB program) while 512² runs
-    #: comfortably.  Above the ceiling the plain trunk executes instead
-    #: (validated at 1024²).  Tunable per instance for bigger-HBM parts.
+    #: Pixel budget for an *unstripped* ws2d dense block.  Its source-grouped
+    #: wide conv outputs (384/320/256/192/128 channels, f32 until the stage
+    #: sums) make the per-block live set ~10x the plain trunk's; measured on
+    #: a 16 GB v5e, 1024² inputs OOM unstripped (XLA reports a 32 GB
+    #: program) while 512² runs comfortably.  Larger inputs now run the
+    #: dense blocks in exact H-strips sized to this budget
+    #: (:func:`_dense_block_ws2d_strips`) instead of losing the fast trunk.
     ws2d_max_pixels: int = 512 * 512 * 5 // 4
 
-    def _mode_for_shape(self, h: int, w: int) -> str:
-        """Resolves the trunk mode against the batch's shape constraints
-        (ws2d needs even W and bounded size; full s2d needs both dims
-        even)."""
-        if (
-            self.trunk_mode == "ws2d"
-            and w % 2 == 0
-            and h * w <= self.ws2d_max_pixels
-        ):
-            return "ws2d"
+    #: Per-*strip* pixel budget when the blocks run stripped.  Larger than
+    #: the unstripped budget on purpose: a strip is the only wide-output
+    #: tensor alive at a time, so it can take more of HBM.  Measured on a
+    #: 16 GB v5e at 1024²: 512-row strips (0.53 MP) run OOM-free and beat
+    #: 320-row strips by 1.2x (less lax.map slice traffic); the unstripped
+    #: 1 MP block does not fit.
+    ws2d_strip_pixels: int = 512 * 1024
+
+    def _mode_for_shape(self, h: int, w: int) -> tuple[str, int | None]:
+        """Resolves (trunk mode, strip_rows) for a batch shape.
+
+        ws2d needs even W; above the unstripped pixel budget the dense
+        blocks run in H-strips whose rows fit the strip budget.  Full s2d
+        needs both dims even.  Anything else falls back to the plain trunk
+        (with a once-per-process debug log so the fallback is visible)."""
+        if self.trunk_mode == "ws2d" and w % 2 == 0:
+            if h * w <= self.ws2d_max_pixels:
+                return "ws2d", None
+            # Strip rows: fill the per-strip budget with the fewest, most
+            # even strips (overlap waste is lowest when rows divides h),
+            # 8-row aligned, >= 32.
+            rows_max = max(32, self.ws2d_strip_pixels // w)
+            n_strips = -(-h // rows_max)
+            rows = max(32, (-(-h // n_strips) + 7) & ~7)
+            if h > rows + 2 * _DENSE_HALO:
+                return "ws2d", rows
+            return "ws2d", None
         if self.trunk_mode == "s2d" and h % 2 == 0 and w % 2 == 0:
-            return "s2d"
-        return "plain"
+            return "s2d", None
+        if self.trunk_mode != "plain" and not getattr(self, "_fallback_logged", False):
+            self._fallback_logged = True
+            import logging
+
+            logging.getLogger(__name__).info(
+                "trunk_mode=%s unavailable for shape (%d, %d) (%s); "
+                "running the plain trunk",
+                self.trunk_mode, h, w,
+                "odd width" if w % 2 else "odd height",
+            )
+        return "plain", None
 
     def enhance_images(self, images: np.ndarray) -> np.ndarray:
         """Enhances a uniform uint8 batch in fixed-size sub-batches."""
-        mode = self._mode_for_shape(images.shape[1], images.shape[2])
+        mode, strip_rows = self._mode_for_shape(images.shape[1], images.shape[2])
         out = np.empty_like(images)  # every row is written below
         bs = self.enh_batch_size
         for start in range(0, len(images), bs):
@@ -531,7 +571,7 @@ class RRDBNet:
                 imgs = jnp.asarray(chunk)
                 if self.device is not None:
                     imgs = jax.device_put(imgs, self.device)
-            res = self._run_sr(imgs, mode)
+            res = self._run_sr(imgs, mode, strip_rows)
             out[start : start + valid] = np.asarray(res)[:valid]
         return out
 
@@ -543,7 +583,7 @@ class RRDBNet:
         SR program; a short tail sub-batch repeats its last row (padding
         rows are sliced off before returning).
         """
-        mode = self._mode_for_shape(images.shape[1], images.shape[2])
+        mode, strip_rows = self._mode_for_shape(images.shape[1], images.shape[2])
         n, bs = images.shape[0], self.enh_batch_size
         outs = []
         for start in range(0, n, bs):
@@ -553,7 +593,7 @@ class RRDBNet:
                 if n == bs
                 else jnp.take(images, jnp.asarray(idx), axis=0)
             )
-            res = self._run_sr(chunk, mode)
+            res = self._run_sr(chunk, mode, strip_rows)
             outs.append(res[: min(bs, n - start)])
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 

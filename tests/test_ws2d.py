@@ -96,7 +96,7 @@ def test_ws2d_forward_equivalence():
 )
 def test_mode_for_shape(mode, h, w, expected):
     m = RRDBNet(num_blocks=1, trunk_mode=mode)
-    assert m._mode_for_shape(h, w) == expected
+    assert m._mode_for_shape(h, w) == (expected, None)
 
 
 def test_enhancer_ws2d_matches_plain_end_to_end():
@@ -118,9 +118,58 @@ def test_trunk_mode_validation_and_alias():
     assert m.trunk_mode == "s2d" and m.use_s2d
 
 
-def test_ws2d_size_ceiling_falls_back_to_plain():
+def test_ws2d_size_ceiling_switches_to_strips():
+    """Above the unstripped pixel budget, ws2d engages H-strips (r3: the
+    1024² detect interim keeps the fast trunk instead of falling back)."""
     m = RRDBNet(num_blocks=1, trunk_mode="ws2d")
-    assert m._mode_for_shape(512, 512) == "ws2d"
-    assert m._mode_for_shape(1024, 1024) == "plain"  # would OOM a 16GB chip
+    assert m._mode_for_shape(512, 512) == ("ws2d", None)
+    mode, rows = m._mode_for_shape(1024, 1024)
+    assert mode == "ws2d" and rows is not None
+    assert 32 <= rows <= 512 and rows % 8 == 0
+    # Strip rows scale with the budget: a larger budget means fewer strips.
     m.ws2d_max_pixels = 1024 * 1024
-    assert m._mode_for_shape(1024, 1024) == "ws2d"
+    assert m._mode_for_shape(1024, 1024) == ("ws2d", None)
+
+
+def test_ws2d_strips_forward_equivalence():
+    """Stripped dense blocks are exact vs the unstripped ws2d trunk,
+    including top/bottom image edges, odd H, and a non-dividing strip."""
+    from face_crop_plus_tpu.models.enhancement import _DENSE_HALO
+
+    nb = 2
+    p = _tiny_params(nb)
+    pg = Params(
+        {
+            k: jnp.asarray(v, jnp.float32)
+            for k, v in make_ws2d_grouped_trunk_params(
+                {k: np.asarray(v) for k, v in p.data.items()}, nb
+            ).items()
+        }
+    )
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(size=(1, 45, 16, 3)).astype(np.float32))
+    ref = rrdbnet_forward_ws2d(p, pg, x, nb)
+    for rows in (12, 16, 45 - 2 * _DENSE_HALO - 1):
+        got = rrdbnet_forward_ws2d(p, pg, x, nb, strip_rows=rows)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=0, atol=2e-4,
+            err_msg=f"strip_rows={rows}",
+        )
+    # strip_rows >= H - 2*halo: the strips helper takes the single-pass path.
+    got = rrdbnet_forward_ws2d(p, pg, x, nb, strip_rows=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=2e-4)
+
+
+def test_enhancer_strips_end_to_end_matches_plain():
+    """enhance_images with a strip-forcing budget matches the plain trunk."""
+    rng = np.random.default_rng(8)
+    imgs = rng.integers(0, 255, (1, 64, 12, 3), np.uint8)
+    a = RRDBNet(num_blocks=1, trunk_mode="plain", compute_dtype=jnp.float32)
+    b = RRDBNet(num_blocks=1, trunk_mode="ws2d", compute_dtype=jnp.float32)
+    b.ws2d_max_pixels = 12 * 12  # force the stripped path
+    b.ws2d_strip_pixels = 32 * 12  # rows_max = 32 -> 2 strips of 32
+    mode, rows = b._mode_for_shape(64, 12)
+    assert mode == "ws2d" and rows == 32
+    out_a = a.enhance_images(imgs)
+    out_b = b.enhance_images(imgs)
+    assert np.mean(np.abs(out_a.astype(int) - out_b.astype(int)) > 1) < 0.01
