@@ -98,6 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-se", "--skip-existing", action="store_true",
                    help="Resume an interrupted run: skip source files whose "
                         "crop already exists in the output directory.")
+    p.add_argument("-cs", "--crop-source", type=str, default="original",
+                   choices=["original", "interim"],
+                   help="Pixels the fused path's crops sample: 'original' "
+                        "(full source resolution; higher quality) or "
+                        "'interim' (detector resolution; reference parity).")
     return p
 
 

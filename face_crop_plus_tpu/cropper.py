@@ -156,6 +156,7 @@ class Cropper:
         max_fused_shapes: int = 4,
         weights_dir: str | None = None,
         mesh=None,
+        crop_source: str = "original",
     ):
         self.output_size = output_size
         self.output_format = output_format
@@ -178,6 +179,14 @@ class Cropper:
         self.max_fused_shapes = max_fused_shapes
         self.weights_dir = weights_dir
         self.mesh = mesh
+        #: Pixels the fused path's crops sample: "original" (default)
+        #: warps the original-resolution sources — higher quality than the
+        #: reference, which warps the detector-resolution interim
+        #: (cropper.py:839-843); "interim" reproduces the reference's
+        #: sampling so bit-compatibility runs can use the fused hot path
+        #: (the staged path always crops from the interim).  See
+        #: docs/migration.md.
+        self.crop_source = crop_source
 
         self.num_std_landmarks = 5
 
@@ -241,6 +250,7 @@ class Cropper:
                 enh_model=self.enh_model,
                 device=self._device,
                 mesh=self.mesh,
+                crop_source=self.crop_source,
             )
 
     def _fused_eligible(self, shape, count: int) -> bool:

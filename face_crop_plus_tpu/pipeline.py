@@ -98,15 +98,27 @@ class FusedPipeline:
         enh_model=None,
         device=None,
         mesh=None,
+        crop_source: str = "original",
     ):
+        if crop_source not in ("original", "interim"):
+            raise ValueError(f"unknown crop_source: {crop_source!r}")
         self.det = det_model
         self.enh = enh_model
-        self.target = jnp.asarray(target_landmarks, jnp.float32)
+        # Host numpy: a device-array constant would force a device->host
+        # fetch at trace time when embedding it into the program.
+        self.target = np.asarray(target_landmarks, np.float32)
         self.output_size = tuple(output_size)
         self.border_mode = border_mode
         self.allow_skew = allow_skew
         self.device = device
         self.mesh = mesh
+        #: Which pixels the crops sample.  "original" (default): the
+        #: original-resolution sources — better quality than the reference,
+        #: which warps the detector-resolution interim images.  "interim":
+        #: reference parity (cropper.py:839-843 passes the un-padded
+        #: interim batch to crop_align) — use for bit-compatibility
+        #: validation runs on the fused hot path.
+        self.crop_source = crop_source
 
     def __hash__(self):
         return id(self)
@@ -205,12 +217,13 @@ class FusedPipeline:
 
         uint8 (N, H, W, 3) → (crops u8, landmarks f32, valid bool, caps).
         The face grid equals the image batch (K = 1), so warping every slot
-        is free of waste.  Crops are sampled from the *original-resolution*
-        images, so no quality is lost to the interim resize — better than
-        the reference, which crops from the 1024² interim images
-        (cropper.py:839-843).
+        is free of waste.  With ``crop_source="original"`` (default) crops
+        sample the *original-resolution* images, so no quality is lost to
+        the interim resize — better than the reference, which crops from
+        the 1024² interim images; ``"interim"`` reproduces the reference's
+        sampling (cropper.py:839-843) for bit-compatibility runs.
         """
-        face_lm, valid, caps, _interim = self._detect_trace(
+        face_lm, valid, caps, interim = self._detect_trace(
             params, images, interim_h, interim_w, strategy, vis_threshold,
             nms_threshold, max_faces, pre_topk, variances,
         )
@@ -218,12 +231,27 @@ class FusedPipeline:
         k = face_lm.shape[0] // n
 
         estimate = estimate_affine if self.allow_skew else estimate_similarity
-        mats, ok = estimate(face_lm, self.target)
         img_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
 
-        crops = warp_affine_batch(
-            images, mats, img_idx, self.output_size, self.border_mode
-        )
+        h, w = images.shape[1:3]
+        if self.crop_source == "interim" and (h, w) != (interim_h, interim_w):
+            scale, pad = interim_geometry(h, w, (interim_w, interim_h))
+            t, b, l, r = pad
+            lm_i = face_lm * jnp.float32(scale)  # un-padded interim coords
+            mats, ok = estimate(lm_i, self.target)
+            window = jnp.asarray(
+                [t, l, interim_h - t - b, interim_w - l - r], jnp.int32
+            )
+            windows = jnp.tile(window[None, :], (n * k, 1))
+            src = jnp.clip(jnp.rint(interim), 0, 255)  # reference's uint8 interim
+            crops = warp_affine_batch(
+                src, mats, img_idx, self.output_size, self.border_mode, windows
+            )
+        else:
+            mats, ok = estimate(face_lm, self.target)
+            crops = warp_affine_batch(
+                images, mats, img_idx, self.output_size, self.border_mode
+            )
         crops = jnp.clip(jnp.rint(crops), 0, 255).astype(jnp.uint8)
         return crops, face_lm, valid & ok, caps
 
@@ -282,27 +310,37 @@ class FusedPipeline:
         interim_u8 = jnp.clip(jnp.rint(interim), 0, 255).astype(jnp.uint8)
         return face_lm, valid, caps, interim_u8
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _crop_selected(self, images, face_lm, sel_idx):
+    @partial(jax.jit, static_argnames=("self", "lm_scale"))
+    def _crop_selected(self, images, face_lm, sel_idx, lm_scale=1.0, window=None):
         """Warps the selected face rows out of device-resident images.
 
         Args:
-            images: uint8 (N, H, W, 3) device batch (original resolution).
-            face_lm: (N·K, 5, 2) landmarks from :meth:`_run_detect`.
+            images: uint8 (N, H, W, 3) device batch (original resolution,
+                or the interim batch under ``crop_source="interim"``).
+            face_lm: (N·K, 5, 2) landmarks from :meth:`_run_detect` (source
+                coordinates).
             sel_idx: (F,) int32 compacted face-slot indices (F is a
                 power-of-two bucket; padding rows repeat a valid slot).
+            lm_scale: Static source→image coordinate scale (the interim
+                resize factor when cropping from the interim; 1 otherwise).
+            window: Optional (4,) int32 (top, left, height, width) un-padded
+                region all faces sample from (interim cropping).
 
         Returns:
             uint8 crops (F, Ho, Wo, 3) and a bool (F,) mask of faces whose
             transform was estimable.
         """
         k = face_lm.shape[0] // images.shape[0]
-        lm = jnp.take(face_lm, sel_idx, axis=0)
+        lm = jnp.take(face_lm, sel_idx, axis=0) * jnp.float32(lm_scale)
         estimate = estimate_affine if self.allow_skew else estimate_similarity
         mats, ok = estimate(lm, self.target)
         img_idx = (sel_idx // k).astype(jnp.int32)
+        windows = (
+            None if window is None
+            else jnp.tile(window[None, :], (lm.shape[0], 1))
+        )
         crops = warp_affine_batch(
-            images, mats, img_idx, self.output_size, self.border_mode
+            images, mats, img_idx, self.output_size, self.border_mode, windows
         )
         return jnp.clip(jnp.rint(crops), 0, 255).astype(jnp.uint8), ok
 
@@ -328,7 +366,9 @@ class FusedPipeline:
     #: bucket from a crowd batch can exceed HBM outright).
     max_warp_chunk: int = 512
 
-    def _crop_selected_chunked(self, imgs, face_lm, keep: np.ndarray):
+    def _crop_selected_chunked(
+        self, imgs, face_lm, keep: np.ndarray, lm_scale=1.0, window=None
+    ):
         """Runs :meth:`_crop_selected` over ``keep`` in bounded chunks.
 
         Returns host crops (F, Ho, Wo, 3), ok mask (F,), and the device
@@ -345,7 +385,7 @@ class FusedPipeline:
             sel = np.full(bucket, sub[-1], np.int32)
             sel[: len(sub)] = sub
             dev_crops, dev_ok = self._crop_selected(
-                imgs, face_lm, jnp.asarray(sel)
+                imgs, face_lm, jnp.asarray(sel), lm_scale, window
             )
             if one_dispatch:
                 dev_handle = dev_crops
@@ -401,6 +441,9 @@ class FusedPipeline:
         # landmark extents; the area is the full padded interim, matching
         # the reference's images[0].shape quirk).
         scale, pad = interim_geometry(src_hw[0], src_hw[1], interim_size)
+        t, _b, l, _r = pad
+        hh, ww = ih - pad[0] - pad[1], iw - pad[2] - pad[3]
+        window = np.array([t, l, hh, ww], np.int32)
         factors = mean_face_factor(
             face_lm * scale, indices.tolist(), valid_n, (ih, iw)
         )
@@ -422,9 +465,16 @@ class FusedPipeline:
 
         plain_pos = np.nonzero(~is_gated)[0]
         if len(plain_pos):
-            crops_p, ok_p, handle = self._crop_selected_chunked(
-                imgs, dev_face_lm, keep[plain_pos]
-            )
+            if self.crop_source == "interim":
+                # Reference parity: non-gated crops also sample the interim.
+                crops_p, ok_p, handle = self._crop_selected_chunked(
+                    dev_interim, dev_face_lm, keep[plain_pos],
+                    float(scale), jnp.asarray(window),
+                )
+            else:
+                crops_p, ok_p, handle = self._crop_selected_chunked(
+                    imgs, dev_face_lm, keep[plain_pos]
+                )
             crops_all[plain_pos] = crops_p
             ok_all[plain_pos] = ok_p
             if len(plain_pos) == len(keep):
@@ -454,9 +504,6 @@ class FusedPipeline:
                 np.int32,
                 count=len(gated_pos),
             )
-            t, _b, l, _r = pad
-            hh, ww = ih - pad[0] - pad[1], iw - pad[2] - pad[3]
-            window = np.array([t, l, hh, ww], np.int32)
             # Faces warp in bounded chunks (same HBM rationale as
             # _crop_selected_chunked).
             for s in range(0, len(gated_pos), self.max_warp_chunk):
@@ -546,7 +593,7 @@ class FusedPipeline:
         # single-program path.
         enhanced = self.enh is not None and self.mesh is None
         two_program = self.det.strategy == "all" and self.mesh is None
-        if enhanced:
+        if enhanced or (two_program and self.crop_source == "interim"):
             run = self._run_detect_interim
         elif two_program:
             run = self._run_detect
@@ -583,8 +630,19 @@ class FusedPipeline:
 
             # Warp the kept set in bounded power-of-two chunks; padding rows
             # repeat the last kept slot and are dropped below.
+            src_imgs, lm_scale, window = imgs, 1.0, None
+            if self.crop_source == "interim":
+                h, w = images.shape[1:3]
+                if (h, w) != (ih, iw):
+                    scale, pad = interim_geometry(h, w, interim_size)
+                    t, b, l, r = pad
+                    src_imgs = out[3]  # the detect program's uint8 interim
+                    lm_scale = float(scale)
+                    window = jnp.asarray(
+                        [t, l, ih - t - b, iw - l - r], jnp.int32
+                    )
             crops_k, ok, dev_handle = self._crop_selected_chunked(
-                imgs, dev_face_lm, keep
+                src_imgs, dev_face_lm, keep, lm_scale, window
             )
             crops = crops_k[ok]
             face_lm = np.asarray(dev_face_lm)[keep][ok]
