@@ -52,6 +52,17 @@ def enable_compilation_cache() -> str | None:
         return None
     _DONE = True
 
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        return None
+    if platform == "cpu" and not knob:
+        # XLA:CPU AOT cache entries pin host-CPU feature sets (noisy
+        # loader warnings, SIGILL risk across heterogeneous hosts), and
+        # CPU compiles are fast anyway — cache only accelerator programs
+        # unless explicitly pointed at a directory.
+        return None
+
     path = knob or default_cache_path()
     try:
         os.makedirs(path, exist_ok=True)

@@ -78,3 +78,54 @@ def test_cropper_end_to_end_on_mesh(mesh, tmp_path, rng):
         )
     c.process_dir(str(d), out, desc=None)
     assert len(os.listdir(out)) == 8
+
+
+def test_cropper_mesh_with_enhancement_matches_single(mesh, tmp_path, rng):
+    """Mesh run with enhancement active == single-device run, file for file.
+
+    enh_threshold + mesh forces the staged-fallback branch
+    (cropper.py: gating needs cross-shard gathers, so _init_fused returns
+    early); the single-device side runs staged too (max_fused_shapes=0) so
+    both sides execute the same code path on the same interim pixels —
+    outputs must match exactly.
+    """
+    import os
+
+    from face_crop_plus_tpu import Cropper
+    from face_crop_plus_tpu.utils.io import imread_rgb, imwrite
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(8):
+        imwrite(
+            str(d / f"m{i}.png"),
+            rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+        )
+
+    kwargs = dict(
+        output_size=32,
+        resize_size=64,
+        strategy="best",
+        det_threshold=-1.0,
+        enh_threshold=0.9,  # gate by the (deterministic) random landmarks
+        batch_size=8,
+        max_fused_shapes=0,
+    )
+    out1 = str(tmp_path / "out_single")
+    out2 = str(tmp_path / "out_mesh")
+    with pytest.warns(UserWarning):
+        c1 = Cropper(device=jax.devices()[0], **kwargs)
+    assert c1._fused is None or not c1._fused_eligible((64, 64), 8)
+    c1.process_dir(str(d), out1, desc=None)
+
+    with pytest.warns(UserWarning):
+        c2 = Cropper(mesh=mesh, **kwargs)
+    assert c2._fused is None  # enhancement + mesh: staged fallback branch
+    c2.process_dir(str(d), out2, desc=None)
+
+    files1, files2 = sorted(os.listdir(out1)), sorted(os.listdir(out2))
+    assert files1 == files2 == [f"m{i}.png" for i in range(8)]
+    for f in files1:
+        a = imread_rgb(os.path.join(out1, f)).astype(int)
+        b = imread_rgb(os.path.join(out2, f)).astype(int)
+        assert np.abs(a - b).max() <= 1, f  # same math modulo partitioning

@@ -20,6 +20,8 @@ Exit codes: 0 = validated, 2 = weights unavailable (skipped), 1 = mismatch.
 from __future__ import annotations
 
 import argparse
+import hashlib
+import json
 import os
 import sys
 
@@ -28,11 +30,49 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
 
 DEMO = "/root/reference/demo/input_images"
+MANIFEST = os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights_manifest.json")
 
 
 def fail(msg):
     print(f"FAIL: {msg}")
     sys.exit(1)
+
+
+def load_manifest() -> dict:
+    with open(MANIFEST) as f:
+        return json.load(f)
+
+
+def verify_checksums(manifest: dict, pth_paths: dict) -> None:
+    """Verifies (or trust-on-first-use records) the .pth checksums.
+
+    Checksums cannot be pre-computed in the zero-egress build environment,
+    so the manifest ships with nulls; the first networked run fills them
+    (and prints the manifest to commit), later runs hard-verify.
+    """
+    changed = False
+    for name, path in pth_paths.items():
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        digest, size = h.hexdigest(), os.path.getsize(path)
+        entry = manifest["files"][name]
+        if entry["sha256"] is None:
+            entry["sha256"], entry["bytes"] = digest, size
+            changed = True
+            print(f"manifest: recorded {name} sha256={digest[:16]}… ({size} B)")
+        elif entry["sha256"] != digest:
+            fail(
+                f"checksum mismatch for {name}: manifest {entry['sha256'][:16]}… "
+                f"vs file {digest[:16]}… — upstream artifact changed or download corrupt"
+            )
+        else:
+            print(f"manifest: {name} checksum OK")
+    if changed:
+        with open(MANIFEST, "w") as f:
+            json.dump(manifest, f, indent=2)
+        print(f"manifest updated — commit {MANIFEST}")
 
 
 def main():
@@ -73,6 +113,10 @@ def main():
                 break
     print("all three checkpoints present and converted")
 
+    manifest = load_manifest()
+    tol = manifest["tolerances"]
+    verify_checksums(manifest, pth_paths)
+
     import jax.numpy as jnp
     import torch
 
@@ -101,7 +145,7 @@ def main():
     ref = want.transpose(0, 2, 3, 1)
     d = np.abs(got - ref).max() / (np.abs(ref).max() + 1.0)
     print(f"rrdb forward rel|Δ| vs reference (real weights): {d:.2e}")
-    if d > 1e-4:
+    if d > tol["rrdb_forward_rel_max"]:
         fail("RRDBNet real-weight forward diverges")
 
     # --- BiSeNet forward parity with real weights --------------------------
@@ -122,7 +166,7 @@ def main():
     ref = want.transpose(0, 2, 3, 1)
     d = np.abs(got - ref).max() / (np.abs(ref).max() + 1.0)
     print(f"bise forward rel|Δ| vs reference (real weights): {d:.2e}")
-    if d > 1e-3:
+    if d > tol["bisenet_forward_rel_max"]:
         fail("BiSeNet real-weight forward diverges")
 
     # --- Full pipeline goldens over the demo images ------------------------
@@ -142,44 +186,111 @@ def main():
     if n == 0:
         fail("real-weight detection produced no crops on the demo images")
 
-    # Landmark deltas vs the reference detector (needs torchvision).
+    # Landmark deltas vs the reference detector.  Works with either the real
+    # torchvision or refcompat's faithful vendored ResNet-50 backbone (r3):
+    # real weights fully determine the forward either way.
+    from face_crop_plus.models.retinaface import RetinaFace as RefRF
+
+    rf = RefRF(strategy="all").eval()
+    if "retinaface" in pth_paths:
+        rf.load_state_dict(torch.load(pth_paths["retinaface"], map_location="cpu"))
+    else:
+        rf.load("cpu")
+    imgs, names = [], sorted(os.listdir(args.demo_dir))
+    import cv2
+
+    for f in names:
+        im = cv2.cvtColor(cv2.imread(os.path.join(args.demo_dir, f)), cv2.COLOR_BGR2RGB)
+        imgs.append(im)
+    from face_crop_plus.utils import as_batch, as_tensor
+
+    batch, _, _ = as_batch(imgs, (args.resize, args.resize))
+    with torch.no_grad():
+        ref_lm, ref_idx = rf.predict(as_tensor(batch, torch.device("cpu")))
+
+    our = c.det_model
+    our.strategy = "all"
+    lm, idx = our.predict(np.asarray(batch))
+    if len(lm) != len(ref_lm):
+        fail(f"face count mismatch: ours {len(lm)} vs reference {len(ref_lm)}")
+    if list(idx) != list(ref_idx):
+        fail("face→image index mismatch")
+
+    def sort_within_images(landmarks, indices):
+        """Face order within an image is score-descending on both sides, but
+        exact score ties are ordered arbitrarily (torch's sort is unstable);
+        compare sets, not sequences, by sorting faces lexicographically."""
+        landmarks = np.asarray(landmarks)
+        indices = np.asarray(indices)
+        out = np.empty_like(landmarks)
+        for i in np.unique(indices):
+            rows = landmarks[indices == i]
+            order = np.lexsort(rows.reshape(len(rows), -1).T[::-1])
+            out[indices == i] = rows[order]
+        return out
+
+    d = (
+        np.abs(sort_within_images(lm, idx) - sort_within_images(ref_lm, ref_idx)).max()
+        if len(lm)
+        else 0.0
+    )
+    print(f"detector landmark max|Δ| vs reference (real weights): {d:.3f} px")
+    if d > tol["detector_landmark_px_max"]:
+        fail(f"landmark delta exceeds {tol['detector_landmark_px_max']} px")
+
+    # Crop-level goldens: the reference Cropper's own crops vs ours on the
+    # demo images (crop_source="interim" makes the fused path sample the
+    # same interim pixels the reference warps).  The reference Cropper's
+    # _init_models fetches weights via torch.hub — in a networked run that
+    # succeeds; otherwise this block reports and continues (the parity
+    # above already gates).
     try:
-        import torchvision  # noqa: F401
+        import shutil
 
-        from face_crop_plus.models.retinaface import RetinaFace as RefRF
+        from face_crop_plus import Cropper as RefCropper
 
-        rf = RefRF(strategy="all").eval()
-        if "retinaface" in pth_paths:
-            rf.load_state_dict(torch.load(pth_paths["retinaface"], map_location="cpu"))
-        else:
-            rf.load("cpu")
-        imgs, names = [], sorted(os.listdir(args.demo_dir))
-        import cv2
+        ref_out = os.path.join(args.out, "ref_crops")
+        shutil.rmtree(ref_out, ignore_errors=True)
+        rc = RefCropper(
+            output_size=256,
+            resize_size=(args.resize, args.resize),
+            det_threshold=0.6,
+            enh_threshold=None,
+            device="cpu",
+        )
+        rc.process_dir(args.demo_dir, ref_out)
 
-        for f in names:
-            im = cv2.cvtColor(cv2.imread(os.path.join(args.demo_dir, f)), cv2.COLOR_BGR2RGB)
-            imgs.append(im)
-        from face_crop_plus.utils import as_batch, as_tensor
+        our_out = os.path.join(args.out, "crops_interim")
+        shutil.rmtree(our_out, ignore_errors=True)
+        ci = Cropper(
+            output_size=256,
+            resize_size=(args.resize, args.resize),
+            det_threshold=0.6,
+            enh_threshold=None,
+            weights_dir=args.weights_dir,
+            crop_source="interim",
+        )
+        ci.process_dir(args.demo_dir, our_out)
 
-        batch, _, _ = as_batch(imgs, (args.resize, args.resize))
-        with torch.no_grad():
-            ref_lm, ref_idx = rf.predict(as_tensor(batch, torch.device("cpu")))
-
-        our = c.det_model
-        our.strategy = "all"
-        lm, idx = our.predict(np.asarray(batch))
-        if len(lm) != len(ref_lm):
-            fail(f"face count mismatch: ours {len(lm)} vs reference {len(ref_lm)}")
-        d = np.abs(np.asarray(lm) - np.asarray(ref_lm)).max()
-        print(f"detector landmark max|Δ| vs reference (real weights): {d:.3f} px")
-        if d > 0.5:
-            fail("landmark delta exceeds 0.5 px")
-    except (ImportError, RuntimeError) as e:
-        # ImportError: torchvision absent.  RuntimeError: refcompat's
-        # torchvision *stub* (installed for the parity imports above) — the
-        # real reference detector needs the real torchvision either way.
-        print(f"reference detector comparison skipped ({e}); "
-              "crops + RRDB/BiSeNet parity above still validate)")
+        ref_files = sorted(os.listdir(ref_out))
+        our_files = sorted(os.listdir(our_out))
+        if ref_files != our_files:
+            fail(f"crop file sets differ: {ref_files} vs {our_files}")
+        worst_mean, worst_frac = 0.0, 1.0
+        for f in ref_files:
+            a = cv2.imread(os.path.join(ref_out, f)).astype(int)
+            b = cv2.imread(os.path.join(our_out, f)).astype(int)
+            delta = np.abs(a - b)
+            worst_mean = max(worst_mean, delta.mean())
+            worst_frac = min(worst_frac, (delta <= 8).mean())
+        print(f"crops vs reference: worst mean|Δ| {worst_mean:.2f} levels, "
+              f"worst within-8-levels {worst_frac:.4f}")
+        if worst_mean > tol["crop_mean_abs_levels_max"]:
+            fail("crop intensity delta exceeds the registered tolerance")
+        if worst_frac < tol["crop_pixels_within_8_levels_min"]:
+            fail("crop pixel agreement below the registered tolerance")
+    except Exception as e:  # reference weight fetch needs network
+        print(f"reference-Cropper crop comparison skipped ({e})")
 
     print("OK: real-weight fidelity validated")
 
