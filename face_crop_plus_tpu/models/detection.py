@@ -166,6 +166,12 @@ class RetinaFace:
     ``vis_threshold``, ``nms_threshold``, ``variance``.
     """
 
+    #: Grow-on-demand ceiling for ``pre_topk`` (see
+    #: :data:`_PRE_TOPK_CEILING`).  Raise per instance when exact parity
+    #: with the uncapped reference matters more than the quadratic NMS
+    #: memory (crowd scenes with >1024 above-threshold candidates).
+    pre_topk_ceiling: int = _PRE_TOPK_CEILING
+
     def __init__(
         self,
         strategy: str = "all",
@@ -184,11 +190,6 @@ class RetinaFace:
         self.variance = list(_VARIANCES)
         self.max_faces = int(max_faces)
         self.pre_topk = int(pre_topk)
-        #: Grow-on-demand ceiling for ``pre_topk`` (see
-        #: :data:`_PRE_TOPK_CEILING`).  Raise it when exact parity with the
-        #: uncapped reference matters more than the quadratic NMS memory
-        #: (e.g. crowd scenes with >1024 above-threshold candidates).
-        self.pre_topk_ceiling = _PRE_TOPK_CEILING
         #: Grow ``pre_topk``/``max_faces`` on demand when a batch overflows
         #: them (one recompile per grown cap; doubling keeps the program
         #: count logarithmic).  Off → a warning marks potential divergence

@@ -199,7 +199,11 @@ def find_weights(
         if os.path.isfile(pth):
             converted = convert_pth_file(pth)
             try:
-                save_npz(converted, os.path.join(default_cache_dir(), f"{model_name}.npz"))
+                # Cache the conversion NEXT TO its source: a checkpoint from
+                # an explicit weights_dir must not leak into the global
+                # cache, where runs without that dir would silently pick it
+                # up (observed with a synthetic validation checkpoint).
+                save_npz(converted, os.path.join(d, f"{model_name}.npz"))
             except OSError:  # pragma: no cover - cache dir not writable
                 pass
             return converted
