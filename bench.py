@@ -193,20 +193,27 @@ def measure(device_str: str, n_images: int) -> float:
     return fps
 
 
-def peak_flops_per_s() -> float | None:
-    """Peak bf16 FLOP/s of the attached TPU generation (public specs)."""
+def _chip_peaks() -> tuple[float, float] | None:
+    """(peak bf16 FLOP/s, peak HBM bytes/s) of the attached TPU (public)."""
     import jax
 
     kind = getattr(jax.devices()[0], "device_kind", "").lower()
     table = [
-        ("v5 lite", 394e12), ("v5litepod", 394e12), ("v5e", 394e12),
-        ("v5p", 459e12), ("v6e", 918e12), ("v6", 918e12),
-        ("v4", 275e12), ("v3", 123e12), ("v2", 45e12),
+        ("v5 lite", (394e12, 819e9)), ("v5litepod", (394e12, 819e9)),
+        ("v5e", (394e12, 819e9)), ("v5p", (459e12, 2765e9)),
+        ("v6e", (918e12, 1640e9)), ("v6", (918e12, 1640e9)),
+        ("v4", (275e12, 1228e9)), ("v3", (123e12, 900e9)),
+        ("v2", (45e12, 700e9)),
     ]
     for key, val in table:
         if key in kind:
             return val
     return None
+
+
+def peak_flops_per_s() -> float | None:
+    peaks = _chip_peaks()
+    return peaks[0] if peaks else None
 
 
 def device_profile(cropper) -> dict | None:
@@ -239,6 +246,7 @@ def device_profile(cropper) -> dict | None:
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
         flops = float(ca.get("flops", 0.0))
+        nbytes = float(ca.get("bytes accessed", 0.0))
     except Exception as e:  # pragma: no cover - backend-dependent API
         log(f"cost_analysis unavailable: {e}")
         return None
@@ -256,14 +264,25 @@ def device_profile(cropper) -> dict | None:
     np.asarray(out[3])
     exec_s = (time.perf_counter() - t0) / k
 
-    peak = peak_flops_per_s()
+    peaks = _chip_peaks()
+    peak, peak_bw = peaks if peaks else (None, None)
     prof = {
         "batch": BATCH,
         "program_gflops": round(flops / 1e9, 1),
+        "program_gbytes": round(nbytes / 1e9, 1),
         "device_exec_s": round(exec_s, 4),
         "achieved_tflops": round(flops / exec_s / 1e12, 2),
         "mfu": round(flops / exec_s / peak, 4) if peak else None,
+        # The detect program is memory-bound: cost_analysis bytes / peak HBM
+        # BW is its roofline time (an upper bound on traffic — XLA fusion
+        # reduces the real number), so bw_roofline_frac near/above 1 means
+        # the program runs at the bandwidth speed-of-light, and MFU is the
+        # wrong lens (measured r3: ~0.8 of nominal-bytes roofline, 13% MFU).
+        "bw_roofline_frac": (
+            round((nbytes / peak_bw) / exec_s, 2) if peak_bw and exec_s else None
+        ),
         "peak_tflops_assumed": round(peak / 1e12) if peak else None,
+        "peak_hbm_gbs_assumed": round(peak_bw / 1e9) if peak_bw else None,
         "device_faces_per_s": round(BATCH / exec_s, 1),
     }
     log(f"device profile: {prof}")

@@ -246,20 +246,60 @@ class BiSeNet:
         counts = onehot.sum(axis=(1, 2))  # (B, 19)
         return labels, counts
 
-    def parse_batch(self, images) -> tuple[np.ndarray, np.ndarray]:
-        """Runs parsing for all faces in fixed-size sub-batches.
+    @partial(
+        jax.jit,
+        static_argnames=("self", "out_h", "out_w", "mean", "std", "mask_attrs"),
+    )
+    def _parse_packed(
+        self,
+        params: dict,
+        images: jnp.ndarray,
+        out_h: int,
+        out_w: int,
+        mean: tuple,
+        std: tuple,
+        mask_attrs: tuple,
+    ):
+        """Like :meth:`_parse`, but emits *bit-packed* per-group masks.
 
-        ``images`` may be a host uint8 array or a *device* array (e.g. crops
-        handed over from the fused pipeline, skipping the re-upload).
+        The label raster is 1 byte/pixel; what the host actually needs for
+        mask groups is a binary mask per group, which packs to 1 bit/pixel
+        — an 8x cut in device→host traffic (the dominant cost of the
+        standalone parse path over PCIe, and ~70x over this dev tunnel).
+        Bit order matches ``np.unpackbits`` (MSB first), so the host
+        reconstructs masks with one vectorized call.
 
-        Returns host arrays: uint8 labels (N, H, W) and int32 counts (N, 19).
+        Args:
+            mask_attrs: Static tuple of per-group class-id tuples.
+
+        Returns:
+            uint8 packed masks (G, B, out_h, ceil(out_w/8)) and int32
+            counts (B, 19).
+        """
+        labels, counts = self._parse(params, images, out_h, out_w, mean, std)
+        w8 = -(-out_w // 8)
+        pad = w8 * 8 - out_w
+        packed = []
+        for attrs in mask_attrs:
+            m = jnp.isin(labels, jnp.asarray(attrs, labels.dtype))
+            m = jnp.pad(m, ((0, 0), (0, 0), (0, pad)))
+            m = m.reshape(m.shape[0], out_h, w8, 8).astype(jnp.uint8)
+            # MSB-first bit packing (np.unpackbits order), pure VPU shifts.
+            bits = sum(m[..., k] << (7 - k) for k in range(8))
+            packed.append(bits.astype(jnp.uint8))
+        return jnp.stack(packed), counts
+
+    def _sub_batches(self, images):
+        """Yields (device sub-batch, start, valid) at ``batch_size`` chunks.
+
+        ``images`` may be a host uint8 array or a *device* array (crops
+        handed over from the fused pipeline, skipping the re-upload); mesh
+        runs re-place each sub-batch with the data-parallel sharding
+        (batch_size was rounded to a mesh multiple in ``__init__``).
         """
         on_device = isinstance(images, jnp.ndarray)
-        n, h, w = images.shape[0], images.shape[1], images.shape[2]
-        labels_out = np.empty((n, h, w), np.uint8)
-        counts_out = np.empty((n, NUM_CLASSES), np.int32)
         bs = self.batch_size
-        for start in range(0, n, bs):
+        for start in range(0, images.shape[0], bs):
             chunk = images[start : start + bs]
             if on_device:
                 valid = chunk.shape[0]
@@ -267,10 +307,6 @@ class BiSeNet:
                     reps = jnp.repeat(chunk[-1:], bs - valid, axis=0)
                     chunk = jnp.concatenate([chunk, reps], axis=0)
                 if self.mesh is not None:
-                    # Device handoff under a mesh: re-place the sub-batch
-                    # with the data-parallel sharding (batch_size was
-                    # rounded to a mesh multiple in __init__), matching the
-                    # host-input path below.
                     from ..parallel.mesh import shard_batch
 
                     chunk = shard_batch(chunk, self.mesh)
@@ -285,6 +321,17 @@ class BiSeNet:
                     imgs = jnp.asarray(padded)
                     if self.device is not None:
                         imgs = jax.device_put(imgs, self.device)
+            yield imgs, start, valid
+
+    def parse_batch(self, images) -> tuple[np.ndarray, np.ndarray]:
+        """Runs parsing for all faces in fixed-size sub-batches.
+
+        Returns host arrays: uint8 labels (N, H, W) and int32 counts (N, 19).
+        """
+        n, h, w = images.shape[0], images.shape[1], images.shape[2]
+        labels_out = np.empty((n, h, w), np.uint8)
+        counts_out = np.empty((n, NUM_CLASSES), np.int32)
+        for imgs, start, valid in self._sub_batches(images):
             labels, counts = self._parse(
                 self.params,
                 imgs,
@@ -296,6 +343,53 @@ class BiSeNet:
             labels_out[start : start + valid] = np.asarray(labels)[:valid]
             counts_out[start : start + valid] = np.asarray(counts)[:valid]
         return labels_out, counts_out
+
+    def parse_counts(self, images) -> np.ndarray:
+        """Per-face class pixel counts only — nothing else leaves the device.
+
+        The attribute-grouping path needs just the (N, 19) histogram; the
+        label raster (1 byte/pixel) stays device-side.
+        """
+        n, h, w = images.shape[0], images.shape[1], images.shape[2]
+        counts_out = np.empty((n, NUM_CLASSES), np.int32)
+        for imgs, start, valid in self._sub_batches(images):
+            _labels, counts = self._parse(
+                self.params,
+                imgs,
+                h,
+                w,
+                tuple(float(v) for v in self.mean),
+                tuple(float(v) for v in self.std),
+            )
+            counts_out[start : start + valid] = np.asarray(counts)[:valid]
+        return counts_out
+
+    def parse_batch_packed(
+        self, images, mask_attrs: tuple
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Like :meth:`parse_batch`, fetching bit-packed per-group masks
+        instead of the label raster (8x less device→host traffic).
+
+        Returns host arrays: uint8 packed masks (G, N, H, ceil(W/8)) and
+        int32 counts (N, 19).
+        """
+        n, h, w = images.shape[0], images.shape[1], images.shape[2]
+        w8 = -(-w // 8)
+        packed_out = np.empty((len(mask_attrs), n, h, w8), np.uint8)
+        counts_out = np.empty((n, NUM_CLASSES), np.int32)
+        for imgs, start, valid in self._sub_batches(images):
+            packed, counts = self._parse_packed(
+                self.params,
+                imgs,
+                h,
+                w,
+                tuple(float(v) for v in self.mean),
+                tuple(float(v) for v in self.std),
+                mask_attrs,
+            )
+            packed_out[:, start : start + valid] = np.asarray(packed)[:, :valid]
+            counts_out[start : start + valid] = np.asarray(counts)[:valid]
+        return packed_out, counts_out
 
     # -- grouping (host, from device-computed counts/labels) ------------
 
@@ -338,6 +432,28 @@ class BiSeNet:
             groups[name] = (inds, masks)
         return groups
 
+    def group_by_masks_packed(
+        self, packed: np.ndarray, counts: np.ndarray, width: int
+    ) -> dict[str, tuple[list[int], np.ndarray]]:
+        """:meth:`group_by_masks` from device-packed masks.
+
+        Membership comes from ``counts`` exactly as in the raster path;
+        only the member rows are unpacked (``np.unpackbits``, MSB-first —
+        the device packing's bit order), so non-member faces cost nothing.
+        """
+        groups: dict[str, tuple[list[int], np.ndarray]] = {}
+        h, w8 = packed.shape[2], packed.shape[3]
+        for g, (name, attrs) in enumerate(self.mask_groups.items()):
+            total = counts[:, attrs].sum(axis=1)
+            inds = np.nonzero(total > self.mask_threshold)[0].tolist()
+            if inds:
+                bits = np.unpackbits(packed[g][inds], axis=-1)
+                masks = bits.reshape(len(inds), h, w8 * 8)[:, :, :width] * 255
+            else:
+                masks = np.zeros((0, h, width), np.uint8)
+            groups[name] = (inds, masks)
+        return groups
+
     def predict(self, images, valid_n: int | None = None):
         """Predicts attribute and mask groups for a uint8 face batch.
 
@@ -358,7 +474,16 @@ class BiSeNet:
         if not isinstance(images, jnp.ndarray):
             images = np.asarray(images, np.uint8)
 
-        labels, counts = self.parse_batch(images)
+        # Only counts (tiny) and — when mask groups are configured —
+        # bit-packed masks leave the device; the full label raster is never
+        # fetched on this path.
+        if self.mask_groups is not None:
+            mask_attrs = tuple(
+                tuple(int(a) for a in attrs) for attrs in self.mask_groups.values()
+            )
+            packed, counts = self.parse_batch_packed(images, mask_attrs)
+        else:
+            packed, counts = None, self.parse_counts(images)
 
         attr_groups = None
         if self.attr_groups is not None:
@@ -371,7 +496,9 @@ class BiSeNet:
 
         mask_groups = None
         if self.mask_groups is not None:
-            mask_groups = self.group_by_masks(labels, counts)
+            mask_groups = self.group_by_masks_packed(
+                packed, counts, int(images.shape[2])
+            )
             if valid_n is not None:
                 filtered = {}
                 for k, (inds, masks) in mask_groups.items():

@@ -189,3 +189,35 @@ def test_mean_std_override_takes_effect_after_first_call(rng):
     assert not np.array_equal(counts1, counts2) or not np.array_equal(
         labels1, labels2
     )
+
+
+def test_packed_masks_match_raster_path(par, rng):
+    """predict's bit-packed mask path == the label-raster path, exactly.
+
+    The packed path fetches 1 bit/pixel per group instead of the 1
+    byte/pixel label raster (r3 transfer optimization); membership and the
+    reconstructed 0/255 masks must be identical — including an odd width
+    that exercises the pack padding.
+    """
+    par.attr_groups = {"g": [1]}
+    par.mask_groups = {"m": [1], "pair": [2, 3]}
+    for w in (32, 27):  # 27: width not a multiple of 8
+        imgs = rng.integers(0, 255, (5, 32, w, 3), dtype=np.uint8)
+        attr, mask = par.predict(imgs)
+
+        labels, counts = par.parse_batch(imgs)
+        want = par.group_by_masks(labels, counts)
+        want = {k: v for k, v in want.items() if len(v[0]) > 0}
+
+        assert (mask or {}).keys() == want.keys()
+        for k in want:
+            inds, masks = (mask or {})[k]
+            winds, wmasks = want[k]
+            assert inds == winds
+            np.testing.assert_array_equal(masks, wmasks)
+
+
+def test_parse_counts_matches_parse_batch(par, rng):
+    imgs = rng.integers(0, 255, (3, 24, 24, 3), dtype=np.uint8)
+    _labels, counts = par.parse_batch(imgs)
+    np.testing.assert_array_equal(par.parse_counts(imgs), counts)

@@ -169,6 +169,20 @@ def main():
     if d > tol["bisenet_forward_rel_max"]:
         fail("BiSeNet real-weight forward diverges")
 
+    # Label-level agreement at the production 512² inference size (argmax
+    # can flip on logit near-ties even when forwards agree tightly; the
+    # registered tolerance bounds how often).
+    xi = np.random.default_rng(2).uniform(0, 1, (1, 512, 512, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_labels = bm(torch.from_numpy(xi.transpose(0, 3, 1, 2))).argmax(1).numpy()
+    got_labels = np.asarray(
+        bisenet_forward(pb, jnp.asarray(xi)).argmax(-1)
+    )
+    agree = (got_labels == ref_labels).mean()
+    print(f"bise 512² label agreement vs reference: {agree:.4f}")
+    if agree < tol["parse_label_agreement_min"]:
+        fail("BiSeNet label agreement below the registered tolerance")
+
     # --- Full pipeline goldens over the demo images ------------------------
     from face_crop_plus_tpu import Cropper
 
