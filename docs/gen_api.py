@@ -37,6 +37,7 @@ MODULES = [
     "face_crop_plus_tpu.parallel.mesh",
     "face_crop_plus_tpu.parallel.distributed",
     "face_crop_plus_tpu.utils.batching",
+    "face_crop_plus_tpu.utils.cache",
     "face_crop_plus_tpu.utils.io",
     "face_crop_plus_tpu.utils.landmarks",
     "face_crop_plus_tpu.utils.names",
