@@ -155,35 +155,49 @@ def _dense_block_ws2d(p: Params, name: str, x: jnp.ndarray) -> jnp.ndarray:
     ``cJ = conv(x_J, srcJ)`` holds x_J's contributions to every later
     stage, laid out ``[next stage | ... | stage 5]``; each stage sums the
     slices that target it, adds its (doubled) bias, and applies leaky-relu.
+
+    The wide contribution tensors (384/320/256/192/128 channels) are
+    *stored* in the activation dtype (bf16 on TPU) — the MXU still
+    accumulates each conv in f32, the cast fuses into the conv epilogue,
+    and the stage sums upcast slices back to f32.  This trunk is
+    HBM-bandwidth-bound (STATUS lever table), and the cJ buffers are its
+    dominant traffic term, so halving their bytes is a direct win (it also
+    doubles the OOM-free strip budget).
     """
     gc2 = 2 * _GC
     dn = ("NHWC", "HWIO", "NHWC")
 
     def conv(inp, w):
-        return jax.lax.conv_general_dilated(
+        out = jax.lax.conv_general_dilated(
             inp, w.astype(inp.dtype), (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=dn, preferred_element_type=jnp.float32,
         )
+        return out.astype(x.dtype)
+
+    def f32(t):
+        return t.astype(jnp.float32)
 
     g = [p.get(f"{name}.src{j}.weight", (), "zeros") for j in range(5)]
     b = [p.get(f"{name}.conv{k}.bias", (), "zeros").astype(jnp.float32)
          for k in range(1, 6)]
     c0 = conv(x, g[0])
-    x1 = leaky_relu((c0[..., :gc2] + b[0]).astype(x.dtype), _SLOPE)
+    x1 = leaky_relu((f32(c0[..., :gc2]) + b[0]).astype(x.dtype), _SLOPE)
     c1 = conv(x1, g[1])
     x2 = leaky_relu(
-        (c0[..., gc2:2 * gc2] + c1[..., :gc2] + b[1]).astype(x.dtype), _SLOPE)
+        (f32(c0[..., gc2:2 * gc2]) + f32(c1[..., :gc2]) + b[1]).astype(x.dtype),
+        _SLOPE)
     c2 = conv(x2, g[2])
     x3 = leaky_relu(
-        (c0[..., 2 * gc2:3 * gc2] + c1[..., gc2:2 * gc2] + c2[..., :gc2]
-         + b[2]).astype(x.dtype), _SLOPE)
+        (f32(c0[..., 2 * gc2:3 * gc2]) + f32(c1[..., gc2:2 * gc2])
+         + f32(c2[..., :gc2]) + b[2]).astype(x.dtype), _SLOPE)
     c3 = conv(x3, g[3])
     x4 = leaky_relu(
-        (c0[..., 3 * gc2:4 * gc2] + c1[..., 2 * gc2:3 * gc2]
-         + c2[..., gc2:2 * gc2] + c3[..., :gc2] + b[3]).astype(x.dtype), _SLOPE)
+        (f32(c0[..., 3 * gc2:4 * gc2]) + f32(c1[..., 2 * gc2:3 * gc2])
+         + f32(c2[..., gc2:2 * gc2]) + f32(c3[..., :gc2]) + b[3]).astype(x.dtype),
+        _SLOPE)
     c4 = conv(x4, g[4])
-    x5 = (c0[..., 4 * gc2:] + c1[..., 3 * gc2:] + c2[..., 2 * gc2:]
-          + c3[..., gc2:] + c4 + b[4]).astype(x.dtype)
+    x5 = (f32(c0[..., 4 * gc2:]) + f32(c1[..., 3 * gc2:]) + f32(c2[..., 2 * gc2:])
+          + f32(c3[..., gc2:]) + f32(c4) + b[4]).astype(x.dtype)
     return x5 * jnp.asarray(0.2, x.dtype) + x
 
 
