@@ -412,6 +412,31 @@ class Cropper:
 
         return next_pow2(f)
 
+    def _native_warp(self, images, matrices, indices, windows):
+        """Host-native warp when no accelerator is attached (else None).
+
+        The reference leans on cv2.warpAffine's C++ for the pure-host
+        configs (landmark-only CelebA, SURVEY §2.4); this build's
+        equivalent is ``native/fcpt_io.cpp::fcpt_warp_affine_u8`` — ~3x
+        XLA:CPU's gather-based warp, parity within one intensity level.
+        ``FCPT_NATIVE_WARP=0`` disables it.
+        """
+        if self._device is not None and self._device.platform != "cpu":
+            return None
+        if self.mesh is not None or os.environ.get("FCPT_NATIVE_WARP") == "0":
+            return None
+        from .utils.native_io import warp_affine_batch_native
+
+        return warp_affine_batch_native(
+            np.asarray(images),
+            np.asarray(matrices, np.float32),
+            np.asarray(indices, np.int32),
+            self.output_size,
+            self.padding,
+            windows,
+            n_threads=max(1, (os.cpu_count() or 1) // max(1, self.num_processes)),
+        )
+
     def _warp_uniform(self, images, padding, indices, matrices):
         """Warps faces out of a uniform (N, H, W, 3) batch."""
         if padding is not None:
@@ -422,6 +447,10 @@ class Cropper:
             windows = windows_all[indices].astype(np.int32)
         else:
             windows = None
+
+        native = self._native_warp(images, matrices, indices, windows)
+        if native is not None:
+            return native
 
         f = len(indices)
         # Chunk huge face sets: the warp's window gather materializes
@@ -478,6 +507,10 @@ class Cropper:
             local_idx = np.array(
                 [remap[int(indices[i])] for i in face_ids], np.int32
             )
+            native = self._native_warp(stack, matrices[face_ids], local_idx, None)
+            if native is not None:
+                crops[face_ids] = native
+                continue
             # Pad the face dimension to a power-of-two bucket (bounded by
             # max_warp_chunk — see _warp_uniform): NMS/match counts vary per
             # batch, and warp_affine_batch compiles one program per concrete

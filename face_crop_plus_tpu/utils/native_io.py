@@ -90,6 +90,17 @@ def load_library():
             ctypes.c_int,
         ]
         lib.fcpt_decode_batch.restype = ctypes.c_int
+        lib.fcpt_warp_affine_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte),  # images
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n,h,w,c
+            ctypes.POINTER(ctypes.c_float),  # inv_mats
+            ctypes.POINTER(ctypes.c_int),  # img_idx
+            ctypes.POINTER(ctypes.c_int),  # windows (nullable)
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # f, oh, ow
+            ctypes.c_int, ctypes.c_int,  # border_mode, n_threads
+            ctypes.POINTER(ctypes.c_ubyte),  # out
+        ]
+        lib.fcpt_warp_affine_u8.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -177,3 +188,70 @@ def pick_scale_denom(src_hw: tuple[int, int], target_max: int) -> int:
 if __name__ == "__main__":  # build + self-test
     ok = available()
     print(f"native io available: {ok} ({_SO_PATH})")
+
+
+#: Border-mode names → native enum (must match fcpt_io.cpp map_index).
+_BORDER_ENUM = {"constant": 0, "replicate": 1, "reflect": 2, "wrap": 3,
+                "reflect_101": 4}
+
+
+def _invert_affine_np(m: np.ndarray) -> np.ndarray:
+    """Numpy mirror of ops.transform.invert_affine (sign-preserving eps)."""
+    m = np.asarray(m, np.float32)
+    a, b, tx = m[:, 0, 0], m[:, 0, 1], m[:, 0, 2]
+    c, d, ty = m[:, 1, 0], m[:, 1, 1], m[:, 1, 2]
+    det = a * d - b * c
+    det = np.where(np.abs(det) < 1e-12, np.where(det < 0, -1e-12, 1e-12), det)
+    ia, ib = d / det, -b / det
+    ic, id_ = -c / det, a / det
+    itx = -(ia * tx + ib * ty)
+    ity = -(ic * tx + id_ * ty)
+    return np.stack(
+        [np.stack([ia, ib, itx], axis=-1), np.stack([ic, id_, ity], axis=-1)],
+        axis=1,
+    ).astype(np.float32)
+
+
+def warp_affine_batch_native(
+    images: np.ndarray,
+    matrices: np.ndarray,
+    img_idx: np.ndarray,
+    output_size: tuple[int, int],
+    border_mode: str = "constant",
+    windows: np.ndarray | None = None,
+    n_threads: int = 0,
+) -> np.ndarray | None:
+    """Host-native counterpart of ``ops.warp.warp_affine_batch`` (uint8 out).
+
+    Same contract: forward (F, 2, 3) transforms (inverted here), optional
+    per-face un-padded windows, cv2 border semantics; returns uint8 crops
+    (F, Ho, Wo, C), or None when the native library is unavailable.  The
+    GIL is released for the call, so the Cropper's worker threads overlap.
+    """
+    lib = load_library()
+    if lib is None or border_mode not in _BORDER_ENUM:
+        return None
+    images = np.ascontiguousarray(images, np.uint8)
+    n, h, w, c = images.shape
+    f = int(np.shape(matrices)[0])
+    wo, ho = output_size
+    out = np.empty((f, ho, wo, c), np.uint8)
+    if f == 0:
+        return out
+    inv = np.ascontiguousarray(_invert_affine_np(matrices).reshape(f, 6))
+    idx = np.ascontiguousarray(np.asarray(img_idx, np.int32))
+    win_ptr = None
+    if windows is not None:
+        win = np.ascontiguousarray(np.asarray(windows, np.int32))
+        win_ptr = win.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    if n_threads < 1:
+        n_threads = min(4, os.cpu_count() or 1)
+    rc = lib.fcpt_warp_affine_u8(
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        n, h, w, c,
+        inv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        win_ptr, f, ho, wo, _BORDER_ENUM[border_mode], n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    return out if rc == 0 else None

@@ -1,0 +1,93 @@
+"""Native host warp (native/fcpt_io.cpp::fcpt_warp_affine_u8).
+
+The host-native counterpart of ops/warp.py for CPU-only runs (the
+reference's pure-host configs lean on cv2.warpAffine's C++; ours is ~3x
+XLA:CPU).  Must match the device warp within one intensity level on a
+vanishing fraction of pixels (float-order differences at rounding
+boundaries only).
+"""
+
+import numpy as np
+import pytest
+
+from face_crop_plus_tpu.ops.warp import BORDER_MODES, to_uint8, warp_affine_batch
+from face_crop_plus_tpu.utils.native_io import available, warp_affine_batch_native
+
+pytestmark = pytest.mark.skipif(
+    not available(), reason="native library unavailable (no toolchain)"
+)
+
+
+def _mats(rng, f):
+    base = np.array([[0.8, 0.1, 5.0], [-0.1, 0.8, 8.0]], np.float32)
+    out = np.stack([base * (1.0 + 0.07 * i) for i in range(f)])
+    out[..., 2] += rng.uniform(-10, 10, (f, 2)).astype(np.float32)
+    return out
+
+
+@pytest.mark.parametrize("mode", BORDER_MODES)
+def test_native_matches_device_warp(rng, mode):
+    imgs = rng.integers(0, 255, (4, 60, 80, 3), dtype=np.uint8)
+    mats = _mats(rng, 6)
+    idx = np.array([0, 1, 2, 3, 0, 2], np.int32)
+    want = np.asarray(to_uint8(warp_affine_batch(imgs, mats, idx, (48, 40), mode)))
+    got = warp_affine_batch_native(imgs, mats, idx, (48, 40), mode)
+    d = np.abs(want.astype(int) - got.astype(int))
+    assert d.max() <= 1
+    assert (d > 0).mean() < 1e-3
+
+
+@pytest.mark.parametrize("mode", ["constant", "replicate", "reflect_101"])
+def test_native_matches_device_warp_windows(rng, mode):
+    imgs = rng.integers(0, 255, (3, 64, 64, 3), dtype=np.uint8)
+    mats = _mats(rng, 5)
+    idx = np.array([0, 1, 2, 0, 1], np.int32)
+    win = np.tile(np.array([[6, 4, 50, 56]], np.int32), (5, 1))
+    want = np.asarray(
+        to_uint8(warp_affine_batch(imgs, mats, idx, (32, 32), mode, win))
+    )
+    got = warp_affine_batch_native(imgs, mats, idx, (32, 32), mode, win)
+    d = np.abs(want.astype(int) - got.astype(int))
+    assert d.max() <= 1
+    assert (d > 0).mean() < 1e-3
+
+
+def test_native_empty_and_validation(rng):
+    imgs = rng.integers(0, 255, (1, 8, 8, 3), dtype=np.uint8)
+    out = warp_affine_batch_native(
+        imgs, np.zeros((0, 2, 3), np.float32), np.zeros(0, np.int32), (4, 4)
+    )
+    assert out.shape == (0, 4, 4, 3)
+    assert warp_affine_batch_native(imgs, _mats(rng, 1), [0], (4, 4), "nope") is None
+
+
+def test_cropper_native_vs_xla_host_path(tmp_path, rng, monkeypatch):
+    """Landmark-mode Cropper on CPU: native warp == XLA warp within 1 level."""
+    from face_crop_plus_tpu import Cropper
+    from face_crop_plus_tpu.utils.io import imread_rgb, imwrite
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(4):
+        imwrite(str(d / f"f{i}.png"),
+                rng.integers(0, 255, (60, 50, 3), dtype=np.uint8))
+    lm = tmp_path / "lm.txt"
+    lm.write_text("\n".join(
+        f"f{i}.png 15 20 35 20 25 30 17 40 33 40" for i in range(4)))
+
+    outs = {}
+    for name, env in (("native", "1"), ("xla", "0")):
+        monkeypatch.setenv("FCPT_NATIVE_WARP", env)
+        out = str(tmp_path / f"out_{name}")
+        c = Cropper(output_size=32, landmarks=str(lm), det_threshold=None,
+                    enh_threshold=None, device="cpu")
+        c.process_dir(str(d), out, desc=None)
+        import os
+
+        outs[name] = {
+            f: imread_rgb(os.path.join(out, f)) for f in sorted(os.listdir(out))
+        }
+    assert outs["native"].keys() == outs["xla"].keys()
+    for f in outs["native"]:
+        dd = np.abs(outs["native"][f].astype(int) - outs["xla"][f].astype(int))
+        assert dd.max() <= 2, f  # ±1 warp + JPEG/PNG re-encode headroom

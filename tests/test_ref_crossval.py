@@ -75,18 +75,20 @@ def test_anchor_grid_matches_reference_priorbox(size):
 # ---------------------------------------------------------------------------
 
 
-def _build_ref_retinaface(rng, strategy="all", vis=0.5):
+def _build_ref_retinaface(strategy="all", vis=0.5):
     """Constructs the executing reference RetinaFace with randomized weights.
 
     The torchvision stub now provides a faithful ResNet-50 +
     IntermediateLayerGetter (tests/refcompat.py), so the reference's own
     ``retinaface.py:54-144`` constructs and runs — no hand-written double.
+    A *local* rng keeps the weights independent of test execution order
+    (the shared session rng's state varies with which tests ran before).
     """
     from face_crop_plus.models import RetinaFace as RefRF
 
     torch.manual_seed(0)
     tm = RefRF(strategy=strategy, vis=vis).eval()
-    _randomize_bn(tm, rng)
+    _randomize_bn(tm, np.random.default_rng(42))
     return tm
 
 
@@ -112,7 +114,7 @@ def _our_retinaface_like(tm):
 
 def test_retinaface_real_reference_forward_parity(rng):
     """Shared converted weights -> forward outputs agree (retinaface.py:112-144)."""
-    tm = _build_ref_retinaface(rng)
+    tm = _build_ref_retinaface()
     p = _to_params(tm)
 
     from face_crop_plus_tpu.models.detection import retinaface_forward
@@ -137,7 +139,7 @@ def test_retinaface_real_reference_predict_crossval(rng, demo_dir, strategy):
     face-for-face (small float tolerance: our forward runs NHWC/XLA, the
     reference NCHW/torch).
     """
-    tm = _build_ref_retinaface(rng, strategy=strategy)
+    tm = _build_ref_retinaface(strategy=strategy)
     ours = _our_retinaface_like(tm)
 
     files = sorted(os.listdir(demo_dir))[:2]
@@ -155,10 +157,24 @@ def test_retinaface_real_reference_predict_crossval(rng, demo_dir, strategy):
 
     assert list(got_idx) == list(want_idx)
     assert got_lm.shape == want_lm.shape
+
+    def sort_within(lm, idx):
+        # Both sides order faces per image score-descending, but scores a
+        # few float-ulps apart can swap adjacent faces between backends;
+        # compare the per-image landmark SETS (lexicographic face order).
+        lm, idx = np.asarray(lm), np.asarray(idx)
+        out = np.empty_like(lm)
+        for i in np.unique(idx):
+            rows = lm[idx == i]
+            order = np.lexsort(rows.reshape(len(rows), -1).T[::-1])
+            out[idx == i] = rows[order]
+        return out
+
     if len(want_idx):
-        # Same ordering contract (image order, then score order) on both
-        # sides; random-weight scores are continuous so ties don't occur.
-        np.testing.assert_allclose(got_lm, want_lm, atol=0.5)
+        np.testing.assert_allclose(
+            sort_within(got_lm, got_idx), sort_within(want_lm, want_idx),
+            atol=0.5,
+        )
 
 
 # ---------------------------------------------------------------------------
