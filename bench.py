@@ -33,8 +33,10 @@ BATCH = int(os.environ.get("FCPT_BENCH_BATCH", "16"))
 SRC_HW = (218, 178)     # CelebA-style source size
 CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu.json")
 DEMO_DIR = "/root/reference/demo/input_images"
-# json-normalized (tuples -> lists) so it compares equal after a round trip
-CACHE_KEY = json.loads(json.dumps([RESIZE, OUTPUT, BATCH, SRC_HW, 2]))
+# json-normalized (tuples -> lists) so it compares equal after a round trip;
+# the final int is a config version — bump when CPU-path behavior changes
+# (3: native host warp landed, r3).
+CACHE_KEY = json.loads(json.dumps([RESIZE, OUTPUT, BATCH, SRC_HW, 3]))
 
 
 def log(*args):
@@ -107,6 +109,22 @@ def _write_landmarks(max_n: int) -> str:
     return path
 
 
+def _bench_workers(device_str: str, landmarks: str | None) -> int:
+    """Worker threads for the bench Cropper.
+
+    Device pipelines want several workers (they mostly wait on the chip);
+    the pure-host landmark pipeline is CPU-bound, so oversubscribing the
+    host cores thrashes (measured on a 1-vCPU host: 4 workers 425 faces/s
+    vs 1-2 workers ~620).  FCPT_BENCH_WORKERS overrides.
+    """
+    env = os.environ.get("FCPT_BENCH_WORKERS")
+    if env:
+        return int(env)
+    if landmarks is not None:
+        return max(1, min(4, os.cpu_count() or 1))
+    return 4 if device_str != "cpu" else 2
+
+
 def build_cropper(device_str: str, landmarks: str | None = None):
     import warnings
 
@@ -122,11 +140,7 @@ def build_cropper(device_str: str, landmarks: str | None = None):
             enh_threshold=None,
             landmarks=landmarks,
             batch_size=BATCH if landmarks is None else 64,
-            num_processes=(
-                int(os.environ.get("FCPT_BENCH_WORKERS", "4"))
-                if device_str != "cpu"
-                else 2
-            ),
+            num_processes=_bench_workers(device_str, landmarks),
             device=device_str,
         )
     if cropper.det_model is not None:
@@ -146,7 +160,9 @@ def measure(device_str: str, n_images: int) -> float:
     else:
         cropper = build_cropper(device_str)
 
-    warm_dir = make_dataset(BATCH)
+    # Warm with one full device batch (landmarks mode batches at 64, not
+    # BATCH) so the timed passes never compile.
+    warm_dir = make_dataset(64 if MODE == "landmarks" else BATCH)
     out_warm = warm_dir + "_out"
     t0 = time.perf_counter()
     cropper.process_dir(warm_dir, out_warm, desc=None)

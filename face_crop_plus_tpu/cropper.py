@@ -337,7 +337,18 @@ class Cropper:
     # ------------------------------------------------------------------
 
     def _estimate(self, landmarks_source: np.ndarray):
-        """Batched transform estimation for all faces at once."""
+        """Batched transform estimation for all faces at once.
+
+        Pure-host pipelines (no detector/enhancer) use the numpy twins —
+        the math is microseconds of arithmetic, and a jitted estimate
+        would pay an upload/compute/fetch round trip per batch when an
+        accelerator is attached.
+        """
+        if self.det_model is None and self.enh_model is None:
+            from .ops.transform import estimate_affine_np, estimate_similarity_np
+
+            fit = estimate_affine_np if self.allow_skew else estimate_similarity_np
+            return fit(landmarks_source, np.asarray(self.landmarks_target))
         if self.allow_skew:
             return estimate_affine(landmarks_source, self.landmarks_target)
         return estimate_similarity(landmarks_source, self.landmarks_target)
@@ -421,9 +432,21 @@ class Cropper:
         XLA:CPU's gather-based warp, parity within one intensity level.
         ``FCPT_NATIVE_WARP=0`` disables it.
         """
-        if self._device is not None and self._device.platform != "cpu":
-            return None
         if self.mesh is not None or os.environ.get("FCPT_NATIVE_WARP") == "0":
+            return None
+        # Pure-host pipelines (no detector/enhancer — the landmark-only and
+        # no-op modes) warp natively even with an accelerator attached: the
+        # sources are host arrays and the warp is trivial compute, so a
+        # device dispatch only adds an upload + fetch round trip (measured
+        # ~5x slower end-to-end on a tunneled chip).  Pipelines whose images
+        # already live on device (detection/enhancement active) warp on
+        # device; the native path positively requires the CPU platform
+        # (_resolve_device never yields None, but a hand-built Cropper
+        # might).
+        pure_host = self.det_model is None and self.enh_model is None
+        if not pure_host and (
+            self._device is None or self._device.platform != "cpu"
+        ):
             return None
         from .utils.native_io import warp_affine_batch_native
 
@@ -435,6 +458,12 @@ class Cropper:
             self.padding,
             windows,
             n_threads=max(1, (os.cpu_count() or 1) // max(1, self.num_processes)),
+            # 10-bit fixed-point sampling by default — the same arithmetic
+            # family as the reference's cv2.warpAffine (5-bit), strictly
+            # more accurate than it, and within one intensity level of the
+            # exact path.  FCPT_WARP_EXACT=1 opts into exact float
+            # (bit-parity with the device warp).
+            exact=os.environ.get("FCPT_WARP_EXACT") == "1",
         )
 
     def _warp_uniform(self, images, padding, indices, matrices):

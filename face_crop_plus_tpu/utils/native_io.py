@@ -56,7 +56,11 @@ def load_library():
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.isfile(_SO_PATH) and not _try_build():
+        # Always run make once per process: it is a no-op when the .so is
+        # fresh, and rebuilds a stale/foreign-host binary (the library is
+        # compiled -march=native and never shipped).  A present .so is
+        # still used if the toolchain is unavailable.
+        if not _try_build() and not os.path.isfile(_SO_PATH):
             return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
@@ -97,7 +101,7 @@ def load_library():
             ctypes.POINTER(ctypes.c_int),  # img_idx
             ctypes.POINTER(ctypes.c_int),  # windows (nullable)
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # f, oh, ow
-            ctypes.c_int, ctypes.c_int,  # border_mode, n_threads
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # border_mode, exact, n_threads
             ctypes.POINTER(ctypes.c_ubyte),  # out
         ]
         lib.fcpt_warp_affine_u8.restype = ctypes.c_int
@@ -220,6 +224,7 @@ def warp_affine_batch_native(
     border_mode: str = "constant",
     windows: np.ndarray | None = None,
     n_threads: int = 0,
+    exact: bool = True,
 ) -> np.ndarray | None:
     """Host-native counterpart of ``ops.warp.warp_affine_batch`` (uint8 out).
 
@@ -227,6 +232,11 @@ def warp_affine_batch_native(
     per-face un-padded windows, cv2 border semantics; returns uint8 crops
     (F, Ho, Wo, C), or None when the native library is unavailable.  The
     GIL is released for the call, so the Cropper's worker threads overlap.
+
+    ``exact=True`` matches the device warp bit-for-bit up to float
+    rounding order (round-half-even); ``exact=False`` samples with 10-bit
+    fixed-point arithmetic (the cv2 INTER_LINEAR family, which uses 5
+    bits) — within one intensity level of the exact path, faster.
     """
     lib = load_library()
     if lib is None or border_mode not in _BORDER_ENUM:
@@ -251,7 +261,7 @@ def warp_affine_batch_native(
         n, h, w, c,
         inv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        win_ptr, f, ho, wo, _BORDER_ENUM[border_mode], n_threads,
+        win_ptr, f, ho, wo, _BORDER_ENUM[border_mode], int(exact), n_threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
     )
     return out if rc == 0 else None

@@ -28,6 +28,10 @@
 #include <cmath>
 #include <atomic>
 #include <thread>
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 #include <vector>
 
 namespace {
@@ -240,13 +244,303 @@ inline unsigned char sat_round(float v) {
   return static_cast<unsigned char>(r);
 }
 
-void warp_one_face(const unsigned char* images, int h, int w, int c,
-                   const float* inv6, int img, int top, int left, int eh,
-                   int ew, int oh, int ow, int mode, unsigned char* dst) {
+// EXACT=true: float accumulation + round-half-even (bit-aligned with the
+// device warp, ops/warp.py).  EXACT=false: 10-bit fixed-point bilinear —
+// the same arithmetic family as cv2's INTER_LINEAR (which uses 5 bits);
+// quantizing the source coordinate to 1/1024 px bounds the deviation from
+// the exact path to one intensity level, and the integer accumulator
+// needs no per-channel rounding call (the exact path's nearbyintf
+// dominates its profile).  Border pixels always take the exact path.
+template <bool EXACT>
+inline void warp_pixel(const unsigned char* src, size_t row_stride, int c,
+                       float sx, float sy, int top, int left, int eh, int ew,
+                       int mode, unsigned char* out_px) {
+  if (!EXACT) {
+    const int sxq = static_cast<int>(floorf(sx * 1024.f));
+    const int syq = static_cast<int>(floorf(sy * 1024.f));
+    const int qx0 = sxq >> 10, qy0 = syq >> 10;
+    if (qx0 >= 0 && qy0 >= 0 && qx0 + 1 < ew && qy0 + 1 < eh) {
+      const int ifx = sxq & 1023, ify = syq & 1023;
+      const int wx0 = 1024 - ifx, wy0 = 1024 - ify;
+      const unsigned char* p00 =
+          src + static_cast<size_t>(qy0 + top) * row_stride +
+          static_cast<size_t>(qx0 + left) * c;
+      const unsigned char* p10 = p00 + row_stride;
+      for (int ch = 0; ch < c; ++ch) {
+        const int h0 = wx0 * p00[ch] + ifx * p00[c + ch];
+        const int h1 = wx0 * p10[ch] + ifx * p10[c + ch];
+        // Weights sum to 1<<20 and taps are <=255, so the rounded
+        // result is already in [0, 255]; no clamp needed.
+        out_px[ch] = static_cast<unsigned char>(
+            (wy0 * h0 + ify * h1 + (1 << 19)) >> 20);
+      }
+      return;
+    }
+    // Border neighborhood: fall through to the exact implementation.
+  }
+
+  const float fx0 = floorf(sx);
+  const float fy0 = floorf(sy);
+  const int x0 = static_cast<int>(fx0);
+  const int y0 = static_cast<int>(fy0);
+  const float fx = sx - fx0;
+  const float fy = sy - fy0;
+  const float w00 = (1.f - fx) * (1.f - fy);
+  const float w01 = fx * (1.f - fy);
+  const float w10 = (1.f - fx) * fy;
+  const float w11 = fx * fy;
+
+  if (x0 >= 0 && y0 >= 0 && x0 + 1 < ew && y0 + 1 < eh) {
+    // Interior fast path: the 2x2 neighborhood is fully inside the
+    // (un-padded) window — no border remap, contiguous fetches.
+    const unsigned char* p00 =
+        src + static_cast<size_t>(y0 + top) * row_stride +
+        static_cast<size_t>(x0 + left) * c;
+    const unsigned char* p10 = p00 + row_stride;
+    for (int ch = 0; ch < c; ++ch) {
+      const float v = w00 * p00[ch] + w01 * p00[c + ch] +
+                      w10 * p10[ch] + w11 * p10[c + ch];
+      out_px[ch] = sat_round(v);
+    }
+    return;
+  }
+
+  // Border path: per-neighbor cv2 index remapping (exact for all
+  // five modes; "constant" masks outside-neighbor weights to zero).
+  float acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};  // c <= 8 supported
+  const float wgt[2][2] = {{w00, w01}, {w10, w11}};
+  for (int dy = 0; dy < 2; ++dy) {
+    const int yi = y0 + dy;
+    for (int dx = 0; dx < 2; ++dx) {
+      const int xi = x0 + dx;
+      float g = wgt[dy][dx];
+      if (mode == 0 && (xi < 0 || xi >= ew || yi < 0 || yi >= eh)) {
+        continue;  // constant border: zero contribution
+      }
+      const int ym = map_index(yi, eh, mode) + top;
+      const int xm = map_index(xi, ew, mode) + left;
+      const unsigned char* p = src + static_cast<size_t>(ym) * row_stride +
+                               static_cast<size_t>(xm) * c;
+      for (int ch = 0; ch < c; ++ch) acc[ch] += g * p[ch];
+    }
+  }
+  for (int ch = 0; ch < c; ++ch) out_px[ch] = sat_round(acc[ch]);
+}
+
+#if defined(__AVX2__)
+// 8-pixel AVX2 row kernel for the fixed-point c==3 path.  Strategy per
+// block of 8 output pixels: vector-compute quantized source coordinates
+// and the interior mask; when all 8 neighborhoods are interior (the
+// overwhelmingly common case for face crops), fetch each pixel pair as
+// one 8-byte load, rearrange bytes into per-channel (p0, p1) epi16 pairs,
+// and do the bilinear blend with pmaddwd (horizontal) + 32-bit multiplies
+// (vertical).  Bit-identical to the scalar fixed-point path.  Any block
+// touching a border (or the end-of-buffer read guard) falls back to the
+// scalar per-pixel path.
+inline void warp_row_fixed3_avx2(const unsigned char* src, size_t row_stride,
+                                 float a, float d, float sx_row, float sy_row,
+                                 int top, int left, int eh, int ew, int mode,
+                                 long long max_off, unsigned char* out_row,
+                                 int ow) {
+  const __m256 va = _mm256_set1_ps(a);
+  const __m256 vd = _mm256_set1_ps(d);
+  const __m256 vsxr = _mm256_set1_ps(sx_row);
+  const __m256 vsyr = _mm256_set1_ps(sy_row);
+  const __m256 v1024f = _mm256_set1_ps(1024.f);
+  const __m256i v1023 = _mm256_set1_epi32(1023);
+  const __m256i v1024 = _mm256_set1_epi32(1024);
+  const __m256i vm1 = _mm256_set1_epi32(-1);
+  const __m256i vxlim = _mm256_set1_epi32(ew - 1);  // need x0 < ew-1
+  const __m256i vylim = _mm256_set1_epi32(eh - 1);
+  const __m256i vtop = _mm256_set1_epi32(top);
+  const __m256i vleft = _mm256_set1_epi32(left);
+  const __m256i vrs = _mm256_set1_epi32(static_cast<int>(row_stride));
+  const __m256i v3 = _mm256_set1_epi32(3);
+  const __m256i vmaxoff = _mm256_set1_epi32(
+      max_off > 0x7fffffffLL ? 0x7fffffff : static_cast<int>(max_off));
+  const __m256i vbias = _mm256_set1_epi32(1 << 19);
+  const __m256i iota = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+  // unpacklo_epi64 of the two shuffled halves yields pixel order
+  // [0,1,4,5 | 2,3,6,7]; this permutation is self-inverse.
+  const __m256i swz = _mm256_setr_epi32(0, 1, 4, 5, 2, 3, 6, 7);
+  // Per 128-bit lane: two pixels' 8-byte pairs at offsets 0 and 8 with
+  // channel bytes [c, c+3] -> epi16 pairs in the low 8 bytes.
+  const __m256i shufR = _mm256_setr_epi8(
+      0, -128, 3, -128, 8, -128, 11, -128, -128, -128, -128, -128, -128,
+      -128, -128, -128, 0, -128, 3, -128, 8, -128, 11, -128, -128, -128,
+      -128, -128, -128, -128, -128, -128);
+  const __m256i shufG = _mm256_setr_epi8(
+      1, -128, 4, -128, 9, -128, 12, -128, -128, -128, -128, -128, -128,
+      -128, -128, -128, 1, -128, 4, -128, 9, -128, 12, -128, -128, -128,
+      -128, -128, -128, -128, -128, -128);
+  const __m256i shufB = _mm256_setr_epi8(
+      2, -128, 5, -128, 10, -128, 13, -128, -128, -128, -128, -128, -128,
+      -128, -128, -128, 2, -128, 5, -128, 10, -128, 13, -128, -128, -128,
+      -128, -128, -128, -128, -128, -128);
+  // Compact 4 pixels' [r|g<<8|b<<16] epi32 into 12 rgb bytes per lane.
+  const __m256i shufPack = _mm256_setr_epi8(
+      0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14, -128, -128, -128, -128,
+      0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14, -128, -128, -128, -128);
+
+  int x = 0;
+  for (; x + 8 <= ow; x += 8) {
+    const __m256 xs =
+        _mm256_cvtepi32_ps(_mm256_add_epi32(_mm256_set1_epi32(x), iota));
+    // mul+add (not fmadd): matches the scalar path's expression exactly.
+    const __m256 sx = _mm256_add_ps(_mm256_mul_ps(va, xs), vsxr);
+    const __m256 sy = _mm256_add_ps(_mm256_mul_ps(vd, xs), vsyr);
+    const __m256i sxq =
+        _mm256_cvtps_epi32(_mm256_floor_ps(_mm256_mul_ps(sx, v1024f)));
+    const __m256i syq =
+        _mm256_cvtps_epi32(_mm256_floor_ps(_mm256_mul_ps(sy, v1024f)));
+    const __m256i x0 = _mm256_srai_epi32(sxq, 10);
+    const __m256i y0 = _mm256_srai_epi32(syq, 10);
+    const __m256i fx = _mm256_and_si256(sxq, v1023);
+    const __m256i fy = _mm256_and_si256(syq, v1023);
+
+    __m256i ok = _mm256_and_si256(_mm256_cmpgt_epi32(x0, vm1),
+                                  _mm256_cmpgt_epi32(vxlim, x0));
+    ok = _mm256_and_si256(
+        ok, _mm256_and_si256(_mm256_cmpgt_epi32(y0, vm1),
+                             _mm256_cmpgt_epi32(vylim, y0)));
+    const __m256i off = _mm256_add_epi32(
+        _mm256_mullo_epi32(_mm256_add_epi32(y0, vtop), vrs),
+        _mm256_mullo_epi32(_mm256_add_epi32(x0, vleft), v3));
+    const __m256i offB = _mm256_add_epi32(off, vrs);
+    // 8-byte fetches read 2 bytes past the second pixel; keep them inside
+    // the caller's buffer (only binding near the very end of the batch).
+    ok = _mm256_andnot_si256(_mm256_cmpgt_epi32(offB, vmaxoff), ok);
+
+    unsigned char* dst = out_row + static_cast<size_t>(x) * 3;
+    if (_mm256_movemask_epi8(ok) != -1) {
+      alignas(32) float sxs[8], sys[8];
+      _mm256_store_ps(sxs, sx);
+      _mm256_store_ps(sys, sy);
+      for (int k = 0; k < 8; ++k) {
+        warp_pixel<false>(src, row_stride, 3, sxs[k], sys[k], top, left, eh,
+                          ew, mode, dst + 3 * k);
+      }
+      continue;
+    }
+
+    alignas(32) int offs[8];
+    _mm256_store_si256(reinterpret_cast<__m256i*>(offs), off);
+    alignas(32) unsigned long long tT[8], tB[8];
+    for (int k = 0; k < 8; ++k) {
+      const unsigned char* p = src + offs[k];
+      memcpy(&tT[k], p, 8);
+      memcpy(&tB[k], p + row_stride, 8);
+    }
+    const __m256i topA =
+        _mm256_load_si256(reinterpret_cast<const __m256i*>(tT));
+    const __m256i topB =
+        _mm256_load_si256(reinterpret_cast<const __m256i*>(tT + 4));
+    const __m256i botA =
+        _mm256_load_si256(reinterpret_cast<const __m256i*>(tB));
+    const __m256i botB =
+        _mm256_load_si256(reinterpret_cast<const __m256i*>(tB + 4));
+
+    const __m256i Rt = _mm256_unpacklo_epi64(_mm256_shuffle_epi8(topA, shufR),
+                                             _mm256_shuffle_epi8(topB, shufR));
+    const __m256i Gt = _mm256_unpacklo_epi64(_mm256_shuffle_epi8(topA, shufG),
+                                             _mm256_shuffle_epi8(topB, shufG));
+    const __m256i Bt = _mm256_unpacklo_epi64(_mm256_shuffle_epi8(topA, shufB),
+                                             _mm256_shuffle_epi8(topB, shufB));
+    const __m256i Rb = _mm256_unpacklo_epi64(_mm256_shuffle_epi8(botA, shufR),
+                                             _mm256_shuffle_epi8(botB, shufR));
+    const __m256i Gb = _mm256_unpacklo_epi64(_mm256_shuffle_epi8(botA, shufG),
+                                             _mm256_shuffle_epi8(botB, shufG));
+    const __m256i Bb = _mm256_unpacklo_epi64(_mm256_shuffle_epi8(botA, shufB),
+                                             _mm256_shuffle_epi8(botB, shufB));
+
+    // (wx0 | fx<<16) as epi16 pairs, permuted into the pair registers'
+    // [0,1,4,5,2,3,6,7] pixel order.
+    const __m256i wx0 = _mm256_sub_epi32(v1024, fx);
+    const __m256i WX = _mm256_permutevar8x32_epi32(
+        _mm256_or_si256(wx0, _mm256_slli_epi32(fx, 16)), swz);
+    const __m256i wy0s =
+        _mm256_permutevar8x32_epi32(_mm256_sub_epi32(v1024, fy), swz);
+    const __m256i fys = _mm256_permutevar8x32_epi32(fy, swz);
+
+    const __m256i rr = _mm256_permutevar8x32_epi32(
+        _mm256_srai_epi32(
+            _mm256_add_epi32(
+                _mm256_add_epi32(
+                    _mm256_mullo_epi32(_mm256_madd_epi16(Rt, WX), wy0s),
+                    _mm256_mullo_epi32(_mm256_madd_epi16(Rb, WX), fys)),
+                vbias),
+            20),
+        swz);
+    const __m256i gg = _mm256_permutevar8x32_epi32(
+        _mm256_srai_epi32(
+            _mm256_add_epi32(
+                _mm256_add_epi32(
+                    _mm256_mullo_epi32(_mm256_madd_epi16(Gt, WX), wy0s),
+                    _mm256_mullo_epi32(_mm256_madd_epi16(Gb, WX), fys)),
+                vbias),
+            20),
+        swz);
+    const __m256i bb = _mm256_permutevar8x32_epi32(
+        _mm256_srai_epi32(
+            _mm256_add_epi32(
+                _mm256_add_epi32(
+                    _mm256_mullo_epi32(_mm256_madd_epi16(Bt, WX), wy0s),
+                    _mm256_mullo_epi32(_mm256_madd_epi16(Bb, WX), fys)),
+                vbias),
+            20),
+        swz);
+
+    const __m256i rgb = _mm256_or_si256(
+        rr, _mm256_or_si256(_mm256_slli_epi32(gg, 8),
+                            _mm256_slli_epi32(bb, 16)));
+    const __m256i packed = _mm256_shuffle_epi8(rgb, shufPack);
+    const __m128i lo = _mm256_castsi256_si128(packed);
+    const __m128i hi = _mm256_extracti128_si256(packed, 1);
+    _mm_storel_epi64(reinterpret_cast<__m128i*>(dst), lo);
+    const unsigned int lo2 =
+        static_cast<unsigned int>(_mm_extract_epi32(lo, 2));
+    memcpy(dst + 8, &lo2, 4);
+    _mm_storel_epi64(reinterpret_cast<__m128i*>(dst + 12), hi);
+    const unsigned int hi2 =
+        static_cast<unsigned int>(_mm_extract_epi32(hi, 2));
+    memcpy(dst + 20, &hi2, 4);
+  }
+  for (; x < ow; ++x) {
+    const float sx = a * x + sx_row;
+    const float sy = d * x + sy_row;
+    warp_pixel<false>(src, row_stride, 3, sx, sy, top, left, eh, ew, mode,
+                      out_row + static_cast<size_t>(x) * 3);
+  }
+}
+#endif  // __AVX2__
+
+template <bool EXACT>
+void warp_one_face(const unsigned char* images, long long images_bytes,
+                   int h, int w, int c, const float* inv6, int img, int top,
+                   int left, int eh, int ew, int oh, int ow, int mode,
+                   unsigned char* dst) {
   const float a = inv6[0], b = inv6[1], tx = inv6[2];
   const float d = inv6[3], e = inv6[4], ty = inv6[5];
   const unsigned char* src = images + static_cast<size_t>(img) * h * w * c;
   const size_t row_stride = static_cast<size_t>(w) * c;
+
+#if defined(__AVX2__)
+  if (!EXACT && c == 3 &&
+      row_stride <= (1u << 29)) {  // offsets stay well inside int32
+    // Bytes from this image's start to the end of the whole batch buffer,
+    // minus the 8-byte fetch width.
+    const long long max_off =
+        images_bytes - static_cast<long long>(img) * h * w * c - 8;
+    for (int y = 0; y < oh; ++y) {
+      warp_row_fixed3_avx2(src, row_stride, a, d, b * y + tx, e * y + ty,
+                           top, left, eh, ew, mode, max_off,
+                           dst + static_cast<size_t>(y) * ow * c, ow);
+    }
+    return;
+  }
+#else
+  (void)images_bytes;
+#endif
 
   for (int y = 0; y < oh; ++y) {
     const float sx_row = b * y + tx;
@@ -255,54 +549,8 @@ void warp_one_face(const unsigned char* images, int h, int w, int c,
     for (int x = 0; x < ow; ++x) {
       const float sx = a * x + sx_row;
       const float sy = d * x + sy_row;
-      const float fx0 = floorf(sx);
-      const float fy0 = floorf(sy);
-      const int x0 = static_cast<int>(fx0);
-      const int y0 = static_cast<int>(fy0);
-      const float fx = sx - fx0;
-      const float fy = sy - fy0;
-      const float w00 = (1.f - fx) * (1.f - fy);
-      const float w01 = fx * (1.f - fy);
-      const float w10 = (1.f - fx) * fy;
-      const float w11 = fx * fy;
-      unsigned char* out_px = out_row + static_cast<size_t>(x) * c;
-
-      if (x0 >= 0 && y0 >= 0 && x0 + 1 < ew && y0 + 1 < eh) {
-        // Interior fast path: the 2x2 neighborhood is fully inside the
-        // (un-padded) window — no border remap, contiguous fetches.
-        const unsigned char* p00 =
-            src + static_cast<size_t>(y0 + top) * row_stride +
-            static_cast<size_t>(x0 + left) * c;
-        const unsigned char* p10 = p00 + row_stride;
-        for (int ch = 0; ch < c; ++ch) {
-          const float v = w00 * p00[ch] + w01 * p00[c + ch] +
-                          w10 * p10[ch] + w11 * p10[c + ch];
-          out_px[ch] = sat_round(v);
-        }
-        continue;
-      }
-
-      // Border path: per-neighbor cv2 index remapping (exact for all
-      // five modes; "constant" masks outside-neighbor weights to zero).
-      float acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};  // c <= 8 supported
-      const float wgt[2][2] = {{w00, w01}, {w10, w11}};
-      for (int dy = 0; dy < 2; ++dy) {
-        const int yi = y0 + dy;
-        for (int dx = 0; dx < 2; ++dx) {
-          const int xi = x0 + dx;
-          float g = wgt[dy][dx];
-          if (mode == 0 && (xi < 0 || xi >= ew || yi < 0 || yi >= eh)) {
-            continue;  // constant border: zero contribution
-          }
-          const int ym = map_index(yi, eh, mode) + top;
-          const int xm = map_index(xi, ew, mode) + left;
-          const unsigned char* p =
-              src + static_cast<size_t>(ym) * row_stride +
-              static_cast<size_t>(xm) * c;
-          for (int ch = 0; ch < c; ++ch) acc[ch] += g * p[ch];
-        }
-      }
-      for (int ch = 0; ch < c; ++ch) out_px[ch] = sat_round(acc[ch]);
+      warp_pixel<EXACT>(src, row_stride, c, sx, sy, top, left, eh, ew, mode,
+                        out_row + static_cast<size_t>(x) * c);
     }
   }
 }
@@ -315,11 +563,14 @@ extern "C" {
 // inv_mats: f x 6 row-major dst->src transforms [a, b, tx, d, e, ty]
 // (already inverted by the caller).  windows: f x 4 (top, left, eh, ew)
 // un-padded sampling windows, or nullptr for the full image.  border_mode
-// as map_index above.  c must be <= 8.  Returns 0 on success.
+// as map_index above.  exact: 1 = float round-half-even (device-warp
+// parity), 0 = 10-bit fixed-point interior (within one level, faster).
+// c must be <= 8.  Returns 0 on success.
 int fcpt_warp_affine_u8(const unsigned char* images, int n, int h, int w,
                         int c, const float* inv_mats, const int* img_idx,
                         const int* windows, int f, int oh, int ow,
-                        int border_mode, int n_threads, unsigned char* out) {
+                        int border_mode, int exact, int n_threads,
+                        unsigned char* out) {
   if (c > 8 || c < 1 || border_mode < 0 || border_mode > 4) return 1;
   if (f <= 0) return 0;
   if (n_threads < 1) n_threads = 1;
@@ -329,17 +580,42 @@ int fcpt_warp_affine_u8(const unsigned char* images, int n, int h, int w,
       const int i = next.fetch_add(1);
       if (i >= f) break;
       const int img = img_idx[i];
-      if (img < 0 || img >= n) continue;
+      if (img < 0 || img >= n) {
+        // Defined output for an invalid index (the caller hands this
+        // buffer out as np.empty): black crop, like the device warp's
+        // clamped-gather-of-nothing for masked faces.
+        memset(out + static_cast<size_t>(i) * oh * ow * c, 0,
+               static_cast<size_t>(oh) * ow * c);
+        continue;
+      }
       int top = 0, left = 0, eh = h, ew = w;
       if (windows != nullptr) {
         top = windows[4 * i];
         left = windows[4 * i + 1];
         eh = windows[4 * i + 2];
         ew = windows[4 * i + 3];
+        // Sanitize: a degenerate window (eh/ew < 1) would divide by zero
+        // in map_index; an out-of-range one would read out of bounds.
+        if (top < 0) top = 0;
+        if (left < 0) left = 0;
+        if (top > h - 1) top = h - 1;
+        if (left > w - 1) left = w - 1;
+        if (eh < 1) eh = 1;
+        if (ew < 1) ew = 1;
+        if (top + eh > h) eh = h - top;
+        if (left + ew > w) ew = w - left;
       }
-      warp_one_face(images, h, w, c, inv_mats + 6 * i, img, top, left, eh,
-                    ew, oh, ow, border_mode,
-                    out + static_cast<size_t>(i) * oh * ow * c);
+      unsigned char* dst = out + static_cast<size_t>(i) * oh * ow * c;
+      const long long images_bytes =
+          static_cast<long long>(n) * h * w * c;
+      if (exact) {
+        warp_one_face<true>(images, images_bytes, h, w, c, inv_mats + 6 * i,
+                            img, top, left, eh, ew, oh, ow, border_mode, dst);
+      } else {
+        warp_one_face<false>(images, images_bytes, h, w, c, inv_mats + 6 * i,
+                             img, top, left, eh, ew, oh, ow, border_mode,
+                             dst);
+      }
     }
   };
   std::vector<std::thread> threads;

@@ -61,6 +61,50 @@ def test_native_empty_and_validation(rng):
     assert warp_affine_batch_native(imgs, _mats(rng, 1), [0], (4, 4), "nope") is None
 
 
+@pytest.mark.parametrize("mode", ["constant", "reflect"])
+def test_native_fixed_point_within_one_level(rng, mode):
+    """exact=False (10-bit fixed-point, the cv2 arithmetic family) stays
+    within one intensity level of the exact path everywhere."""
+    imgs = rng.integers(0, 255, (4, 60, 80, 3), dtype=np.uint8)
+    mats = _mats(rng, 6)
+    idx = np.array([0, 1, 2, 3, 0, 2], np.int32)
+    a = warp_affine_batch_native(imgs, mats, idx, (48, 40), mode, exact=True)
+    b = warp_affine_batch_native(imgs, mats, idx, (48, 40), mode, exact=False)
+    d = np.abs(a.astype(int) - b.astype(int))
+    assert d.max() <= 1
+
+
+def test_native_hostile_inputs_defined(rng):
+    """Invalid img_idx yields a black crop; degenerate/out-of-range windows
+    are sanitized instead of dividing by zero / reading out of bounds."""
+    imgs = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    mats = _mats(rng, 3)
+    idx = np.array([0, 5, 1], np.int32)  # 5 is out of range
+    win = np.array(
+        [[0, 0, 32, 32], [0, 0, 0, 0], [30, 30, 50, 50]], np.int32
+    )  # zero-size and past-the-edge windows
+    out = warp_affine_batch_native(imgs, mats, idx, (8, 8), "reflect", win)
+    assert out is not None and out.shape == (3, 8, 8, 3)
+    assert (out[1] == 0).all()
+
+
+def test_native_warp_gate_pure_host(rng):
+    """Model-free pipelines (landmark-only/no-op) warp natively even when
+    the resolved device is an accelerator; model pipelines do not."""
+    from types import SimpleNamespace
+
+    from face_crop_plus_tpu import Cropper
+
+    c = Cropper(output_size=16, det_threshold=None, enh_threshold=None,
+                device="cpu")
+    c._device = SimpleNamespace(platform="tpu")
+    imgs = rng.integers(0, 255, (1, 32, 32, 3), dtype=np.uint8)
+    out = c._native_warp(imgs, _mats(rng, 2), np.zeros(2, np.int32), None)
+    assert out is not None and out.shape == (2, 16, 16, 3)
+    c.det_model = object()  # images would live on device -> device warp
+    assert c._native_warp(imgs, _mats(rng, 2), np.zeros(2, np.int32), None) is None
+
+
 def test_cropper_native_vs_xla_host_path(tmp_path, rng, monkeypatch):
     """Landmark-mode Cropper on CPU: native warp == XLA warp within 1 level."""
     from face_crop_plus_tpu import Cropper

@@ -139,3 +139,27 @@ def test_singular_fit_flagged_invalid():
     dst_line = np.stack([src[0, :, 0], np.zeros(5, np.float32)], axis=-1)[None]
     _, valid_a = estimate_affine(src, dst_line)
     assert not np.asarray(valid_a)[0]
+
+
+def test_numpy_twins_match_jax(rng):
+    """estimate_*_np (pure-host path) match the jitted versions: same f32
+    math, so agreement should be to reduction-order rounding only."""
+    from face_crop_plus_tpu.ops.transform import (
+        estimate_affine_np,
+        estimate_similarity_np,
+    )
+
+    src = _random_points(rng, 64)
+    dst = _random_points(rng, 64)
+    for jfit, nfit in (
+        (estimate_similarity, estimate_similarity_np),
+        (estimate_affine, estimate_affine_np),
+    ):
+        mj, vj = jfit(src, dst)
+        mn, vn = nfit(src, dst)
+        np.testing.assert_allclose(np.asarray(mj), mn, rtol=2e-5, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(vj), vn)
+    # degenerate: coincident points flagged identically
+    bad = np.ones((3, 5, 2), np.float32)
+    _, v = estimate_similarity_np(bad, _random_points(rng, 3))
+    assert not v.any()
