@@ -35,8 +35,8 @@ CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu
 DEMO_DIR = "/root/reference/demo/input_images"
 # json-normalized (tuples -> lists) so it compares equal after a round trip;
 # the final int is a config version — bump when CPU-path behavior changes
-# (3: native host warp landed, r3).
-CACHE_KEY = json.loads(json.dumps([RESIZE, OUTPUT, BATCH, SRC_HW, 3]))
+# (3: native host warp landed, r3; 4: AVX2 fixed-point warp default).
+CACHE_KEY = json.loads(json.dumps([RESIZE, OUTPUT, BATCH, SRC_HW, 4]))
 
 
 def log(*args):
@@ -143,11 +143,13 @@ def build_cropper(device_str: str, landmarks: str | None = None):
             num_processes=_bench_workers(device_str, landmarks),
             device=device_str,
         )
-    if cropper.det_model is not None:
+    if cropper.det_model is not None and not cropper.det_model.pretrained:
         # Random weights leave no score above 0.6; vis=-1 keeps exactly one
         # face per image (strategy largest) — the realistic CelebA workload.
         # With every anchor above threshold, pre_topk always "binds", so cap
-        # growth must stay off (it exists for real crowd images).
+        # growth must stay off (it exists for real crowd images).  With real
+        # checkpoints in the cache the detector keeps its production
+        # thresholds, so the bench measures the true candidate-count regime.
         cropper.det_model.vis_threshold = -1.0
         cropper.det_model.auto_grow = False
         cropper.det_model._cap_warned = True
