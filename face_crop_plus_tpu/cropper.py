@@ -571,6 +571,46 @@ class Cropper:
     # Saving (host)
     # ------------------------------------------------------------------
 
+    def _packed_fetch_eligible(self, file_names) -> bool:
+        """Whether this batch's crops can come down as packed 4:2:0 rows.
+
+        Device-packed fetches (``FusedPipeline.process(pack_crops=True)``)
+        halve the device→host crop bytes but are only byte-equivalent for
+        JPEG targets (the packing *is* the JPEG encoder's lossy front
+        half).  Requirements: a fused pipeline, no parser (it consumes RGB
+        crops), even output dims, every output file a .jpg/.jpeg, the
+        native raw-data encoder present, and a non-CPU backend (on the CPU
+        backend there is no device link to save; override with
+        ``FCPT_PACK_FETCH=1``/``0``).
+        """
+        if self._fused is None or self.par_model is not None:
+            return False
+        w, h = self.output_size
+        if w % 2 or h % 2 or w < 2 or h < 2:
+            return False
+        mode = os.environ.get("FCPT_PACK_FETCH", "auto")
+        if mode == "0":
+            return False
+        if mode != "1":
+            if self._device is not None:
+                platform = self._device.platform
+            else:
+                import jax
+
+                platform = jax.default_backend()
+            if platform == "cpu":
+                return False
+        if self.output_format is not None:
+            if self.output_format.lower() not in ("jpg", "jpeg"):
+                return False
+        elif not all(
+            str(n).lower().endswith((".jpg", ".jpeg")) for n in file_names
+        ):
+            return False
+        from .utils.native_io import yuv_encoder_available
+
+        return yuv_encoder_available()
+
     def _crop_file_name(self, source_name: str, occurrence: int) -> str:
         """Output file name for the ``occurrence``-th face of a source image.
 
@@ -613,7 +653,17 @@ class Cropper:
             [w for w in writes if w[0] != 0] + [w for w in writes if w[0] == 0]
         ):
             out_name = self._crop_file_name(source, occurrence)
-            imwrite(os.path.join(output_dir, out_name), np.asarray(face))
+            face = np.asarray(face)
+            if face.ndim == 1:
+                # Device-packed YCbCr 4:2:0 row (see _packed_fetch_eligible):
+                # straight to the native raw-data JPEG encoder.
+                from .utils.io import imwrite_yuv420
+
+                imwrite_yuv420(
+                    os.path.join(output_dir, out_name), face, self.output_size
+                )
+            else:
+                imwrite(os.path.join(output_dir, out_name), face)
 
     def save_groups(
         self,
@@ -780,6 +830,9 @@ class Cropper:
                     and not classic_ids
                 )
                 dev_crops = None
+                # JPEG-bound crops come down as device-packed 4:2:0 rows
+                # (half the fetch bytes); excluded when a parser is active.
+                pack = self._packed_fetch_eligible(file_names)
 
                 for ids in fused_groups:
                     batch = np.stack([images[i] for i in ids])
@@ -792,6 +845,7 @@ class Cropper:
                             self.resize_size,
                             return_device_crops=device_handoff,
                             valid_n=n_true,
+                            pack_crops=pack,
                         )
                         crops, _lm, loc = result[:3]
                         if device_handoff:
@@ -804,6 +858,12 @@ class Cropper:
                     sub = [images[i] for i in classic_ids]
                     crops2, loc2 = self._detect_crop_staged(sub)
                     if len(crops2):
+                        if pack:
+                            # Host-resident leftovers join the packed rows
+                            # via the bit-identical numpy twin.
+                            from .ops.yuv import rgb_to_yuv420_np
+
+                            crops2 = rgb_to_yuv420_np(crops2)
                         crops_parts.append(crops2)
                         idx_parts.append(np.asarray(classic_ids)[loc2])
 

@@ -366,15 +366,32 @@ class FusedPipeline:
     #: bucket from a crowd batch can exceed HBM outright).
     max_warp_chunk: int = 512
 
+    @partial(jax.jit, static_argnames=("self",))
+    def _pack_yuv(self, crops_u8):
+        """Device-side YCbCr 4:2:0 packing of finished uint8 crops.
+
+        The JPEG encoder's lossy front half (color convert + chroma
+        subsample, :mod:`face_crop_plus_tpu.ops.yuv`) runs on device so
+        JPEG-bound crops cross the device→host link at 1.5 bytes/pixel
+        instead of 3 — on tunneled hosts the fetch is the e2e bottleneck.
+        A separate tiny program (not fused into the detect program): it
+        only runs when the save target is JPEG, and the unpacked crops
+        array stays available on device for the parser handoff.
+        """
+        from .ops.yuv import rgb_to_yuv420
+
+        return rgb_to_yuv420(crops_u8)
+
     def _crop_selected_chunked(
-        self, imgs, face_lm, keep: np.ndarray, lm_scale=1.0, window=None
+        self, imgs, face_lm, keep: np.ndarray, lm_scale=1.0, window=None,
+        pack: bool = False,
     ):
         """Runs :meth:`_crop_selected` over ``keep`` in bounded chunks.
 
-        Returns host crops (F, Ho, Wo, 3), ok mask (F,), and the device
-        crop array when a single dispatch covered everything (else None —
-        the parser handoff only applies to the common small-face-count
-        case)."""
+        Returns host crops (F, Ho, Wo, 3) — or packed 4:2:0 rows (F, L)
+        with ``pack`` — an ok mask (F,), and the device crop array when a
+        single dispatch covered everything (else None — the parser handoff
+        only applies to the common small-face-count case)."""
         f = len(keep)
         chunk = self.max_warp_chunk
         crops_parts, ok_parts, dev_handle = [], [], None
@@ -389,7 +406,8 @@ class FusedPipeline:
             )
             if one_dispatch:
                 dev_handle = dev_crops
-            crops_parts.append(np.asarray(dev_crops)[: len(sub)])
+            dev_out = self._pack_yuv(dev_crops) if pack else dev_crops
+            crops_parts.append(np.asarray(dev_out)[: len(sub)])
             ok_parts.append(np.asarray(dev_ok)[: len(sub)])
         return (
             np.concatenate(crops_parts),
@@ -397,8 +415,15 @@ class FusedPipeline:
             dev_handle,
         )
 
-    def _empty_result(self, return_device_crops: bool):
-        empty = np.zeros((0,) + self.output_size[::-1] + (3,), np.uint8)
+    def _empty_crops(self, pack: bool) -> np.ndarray:
+        if pack:
+            from .ops.yuv import packed_length
+
+            return np.zeros((0, packed_length(self.output_size)), np.uint8)
+        return np.zeros((0,) + self.output_size[::-1] + (3,), np.uint8)
+
+    def _empty_result(self, return_device_crops: bool, pack: bool = False):
+        empty = self._empty_crops(pack)
         lm0 = np.zeros((0, 5, 2), np.float32)
         idx0 = np.zeros((0,), np.int64)
         return (empty, lm0, idx0, None) if return_device_crops else (empty, lm0, idx0)
@@ -410,7 +435,8 @@ class FusedPipeline:
         return next_pow2(n)
 
     def _finish_enhanced(
-        self, out, imgs, src_hw, interim_size, valid_n, return_device_crops
+        self, out, imgs, src_hw, interim_size, valid_n, return_device_crops,
+        pack: bool = False,
     ):
         """Gate → SR → crop for the enhancement-active fused path.
 
@@ -432,7 +458,7 @@ class FusedPipeline:
         valid = np.asarray(dev_valid)[: valid_n * k]
         keep = np.nonzero(valid)[0]
         if len(keep) == 0:
-            return self._empty_result(return_device_crops)
+            return self._empty_result(return_device_crops, pack)
 
         face_lm = np.asarray(dev_face_lm)[keep]  # (F, 5, 2) source coords
         indices = (keep // k).astype(np.int64)
@@ -457,9 +483,16 @@ class FusedPipeline:
         )
         is_gated = np.isin(indices, gated)
 
-        crops_all = np.empty(
-            (len(keep),) + self.output_size[::-1] + (3,), np.uint8
-        )
+        if pack:
+            from .ops.yuv import packed_length
+
+            crops_all = np.empty(
+                (len(keep), packed_length(self.output_size)), np.uint8
+            )
+        else:
+            crops_all = np.empty(
+                (len(keep),) + self.output_size[::-1] + (3,), np.uint8
+            )
         ok_all = np.zeros(len(keep), bool)
         dev_handle = None
 
@@ -469,11 +502,11 @@ class FusedPipeline:
                 # Reference parity: non-gated crops also sample the interim.
                 crops_p, ok_p, handle = self._crop_selected_chunked(
                     dev_interim, dev_face_lm, keep[plain_pos],
-                    float(scale), jnp.asarray(window),
+                    float(scale), jnp.asarray(window), pack=pack,
                 )
             else:
                 crops_p, ok_p, handle = self._crop_selected_chunked(
-                    imgs, dev_face_lm, keep[plain_pos]
+                    imgs, dev_face_lm, keep[plain_pos], pack=pack
                 )
             crops_all[plain_pos] = crops_p
             ok_all[plain_pos] = ok_p
@@ -526,6 +559,8 @@ class FusedPipeline:
                     jnp.asarray(local_idx),
                     jnp.asarray(window),
                 )
+                if pack:
+                    out_g = self._pack_yuv(out_g)
                 crops_all[pos] = np.asarray(out_g)[:f]
                 ok_all[pos] = np.asarray(ok_g)[:f]
 
@@ -544,6 +579,7 @@ class FusedPipeline:
         interim_size: tuple[int, int],
         return_device_crops: bool = False,
         valid_n: int | None = None,
+        pack_crops: bool = False,
     ):
         """Runs the fused step; returns host (crops, landmarks, indices).
 
@@ -558,6 +594,13 @@ class FusedPipeline:
                 batch to a fixed size (rows beyond it are duplicates whose
                 faces must not surface — and, with enhancement active, must
                 not be super-resolved).  Defaults to the full batch.
+            pack_crops: Fetch crops as device-packed YCbCr 4:2:0 rows
+                (F, L) instead of RGB (F, Ho, Wo, 3) — half the
+                device→host bytes for JPEG-bound crops (the save path
+                feeds the planes straight to the native raw-data encoder).
+                Callers gate on even output dims + JPEG targets; mutually
+                exclusive with ``return_device_crops`` in practice (the
+                parser needs RGB).
 
         Returns:
             Compacted uint8 crops (F, Ho, Wo, 3), float32 landmarks
@@ -613,7 +656,7 @@ class FusedPipeline:
         if enhanced:
             return self._finish_enhanced(
                 out, imgs, images.shape[1:3], (iw, ih), valid_n,
-                return_device_crops,
+                return_device_crops, pack=pack_crops,
             )
 
         if two_program:
@@ -622,11 +665,7 @@ class FusedPipeline:
             valid = np.asarray(dev_valid)[: valid_n * k]
             keep = np.nonzero(valid)[0]
             if len(keep) == 0:
-                empty = np.zeros((0,) + self.output_size[::-1] + (3,), np.uint8)
-                lm0 = np.zeros((0, 5, 2), np.float32)
-                idx0 = np.zeros((0,), np.int64)
-                return (empty, lm0, idx0, None) if return_device_crops else (
-                    empty, lm0, idx0)
+                return self._empty_result(return_device_crops, pack_crops)
 
             # Warp the kept set in bounded power-of-two chunks; padding rows
             # repeat the last kept slot and are dropped below.
@@ -642,7 +681,7 @@ class FusedPipeline:
                         [t, l, ih - t - b, iw - l - r], jnp.int32
                     )
             crops_k, ok, dev_handle = self._crop_selected_chunked(
-                src_imgs, dev_face_lm, keep, lm_scale, window
+                src_imgs, dev_face_lm, keep, lm_scale, window, pack=pack_crops
             )
             crops = crops_k[ok]
             face_lm = np.asarray(dev_face_lm)[keep][ok]
@@ -656,7 +695,8 @@ class FusedPipeline:
             return crops, face_lm, indices, dev_compact
 
         dev_crops, face_lm, dev_valid = out[0], out[1], out[2]
-        for arr in (dev_crops, face_lm, dev_valid):
+        dev_fetch = self._pack_yuv(dev_crops) if pack_crops else dev_crops
+        for arr in (dev_fetch, face_lm, dev_valid):
             # Start device→host copies eagerly so they overlap with other
             # in-flight batches (np.asarray below then completes them).
             try:
@@ -665,7 +705,7 @@ class FusedPipeline:
                 pass
 
         k = dev_valid.shape[0] // imgs.shape[0]
-        crops = np.asarray(dev_crops)[: valid_n * k]
+        crops = np.asarray(dev_fetch)[: valid_n * k]
         face_lm = np.asarray(face_lm)[: valid_n * k]
         valid = np.asarray(dev_valid)[: valid_n * k]
 

@@ -193,6 +193,36 @@ def imwrite(path: str, image: np.ndarray) -> bool:
                 pass
 
 
+def imwrite_yuv420(
+    path: str, packed: np.ndarray, output_size: tuple[int, int]
+) -> bool:
+    """Writes one device-packed YCbCr 4:2:0 crop row as a JPEG file.
+
+    Packed rows come from :func:`face_crop_plus_tpu.ops.yuv.rgb_to_yuv420`
+    — the JPEG encoder's lossy front half executed on device so crops
+    cross the device→host link at half the bytes.  Same atomic
+    temp-file + rename discipline as :func:`imwrite` (resume-marker
+    safety), same cv2 JPEG defaults (quality 95, 4:2:0).  Returns False
+    when the native encoder is unavailable or the encode fails; callers
+    fall back to raw fetches, so a False here is a config error upstream.
+    """
+    from .native_io import encode_jpeg_yuv420
+
+    base, ext = os.path.splitext(path)
+    tmp = f"{base}.tmp-{os.getpid()}{ext}"
+    try:
+        if not encode_jpeg_yuv420(tmp, packed, output_size):
+            return False
+        os.replace(tmp, path)
+        return True
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:  # pragma: no cover
+                pass
+
+
 def read_images(
     file_names: list[str],
     input_dir: str,

@@ -105,6 +105,26 @@ def load_library():
             ctypes.POINTER(ctypes.c_ubyte),  # out
         ]
         lib.fcpt_warp_affine_u8.restype = ctypes.c_int
+        try:  # stale pre-encoder .so without a toolchain to rebuild it
+            lib.fcpt_jpeg_encode_yuv420.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte),  # y
+                ctypes.POINTER(ctypes.c_ubyte),  # cb
+                ctypes.POINTER(ctypes.c_ubyte),  # cr
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,  # h, w, quality
+                ctypes.c_char_p,  # path
+            ]
+            lib.fcpt_jpeg_encode_yuv420.restype = ctypes.c_int
+            lib.fcpt_encode_yuv420_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte),  # packed
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_char_p),  # paths
+                ctypes.c_int,  # n_threads
+                ctypes.POINTER(ctypes.c_int),  # oks
+            ]
+            lib.fcpt_encode_yuv420_batch.restype = ctypes.c_int
+            lib._has_yuv_encoder = True
+        except AttributeError:  # pragma: no cover - stale binary only
+            lib._has_yuv_encoder = False
         _lib = lib
         return _lib
 
@@ -214,6 +234,82 @@ def _invert_affine_np(m: np.ndarray) -> np.ndarray:
         [np.stack([ia, ib, itx], axis=-1), np.stack([ic, id_, ity], axis=-1)],
         axis=1,
     ).astype(np.float32)
+
+
+def yuv_encoder_available() -> bool:
+    """True when the native raw-data JPEG encoder can be called."""
+    lib = load_library()
+    return lib is not None and getattr(lib, "_has_yuv_encoder", False)
+
+
+def encode_jpeg_yuv420(
+    path: str,
+    packed: np.ndarray,
+    output_size: tuple[int, int],
+    quality: int = 95,
+) -> bool:
+    """Encodes one packed planar YCbCr 4:2:0 row to a baseline JPEG file.
+
+    ``packed`` is one crop's ``ops.yuv.rgb_to_yuv420`` output row
+    (``h*w + 2*(h//2)*(w//2)`` bytes, planes Y|Cb|Cr); ``output_size`` is
+    (width, height), both even.  ``quality`` defaults to cv2.imwrite's
+    JPEG default so files are byte-comparable with the raw-crop path.
+    The GIL is released during the encode.  Returns False on failure (the
+    caller falls back or surfaces the error; nothing is retried here).
+    """
+    lib = load_library()
+    if lib is None or not getattr(lib, "_has_yuv_encoder", False):
+        return False
+    w, h = output_size
+    if h < 2 or w < 2 or h % 2 or w % 2:
+        return False
+    packed = np.ascontiguousarray(packed, np.uint8).reshape(-1)
+    ylen, clen = h * w, (h // 2) * (w // 2)
+    if packed.size != ylen + 2 * clen:
+        return False
+    base = packed.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    cb = ctypes.cast(
+        ctypes.addressof(base.contents) + ylen, ctypes.POINTER(ctypes.c_ubyte)
+    )
+    cr = ctypes.cast(
+        ctypes.addressof(base.contents) + ylen + clen,
+        ctypes.POINTER(ctypes.c_ubyte),
+    )
+    rc = lib.fcpt_jpeg_encode_yuv420(base, cb, cr, h, w, quality, path.encode())
+    return rc == 0
+
+
+def encode_jpeg_yuv420_batch(
+    paths: list[str],
+    packed: np.ndarray,
+    output_size: tuple[int, int],
+    quality: int = 95,
+    n_threads: int = 0,
+) -> list[bool]:
+    """Encodes many packed 4:2:0 rows in parallel native threads."""
+    lib = load_library()
+    n = len(paths)
+    if lib is None or not getattr(lib, "_has_yuv_encoder", False):
+        return [False] * n
+    if n == 0:
+        return []
+    w, h = output_size
+    packed = np.ascontiguousarray(packed, np.uint8).reshape(n, -1)
+    if h < 2 or w < 2 or h % 2 or w % 2 or packed.shape[1] != h * w + 2 * (
+        h // 2
+    ) * (w // 2):
+        return [False] * n
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    oks = (ctypes.c_int * n)()
+    if n_threads < 1:
+        n_threads = min(4, os.cpu_count() or 1)
+    rc = lib.fcpt_encode_yuv420_batch(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        n, h, w, quality, c_paths, n_threads, oks,
+    )
+    if rc != 0:
+        return [False] * n
+    return [oks[i] == 0 for i in range(n)]
 
 
 def warp_affine_batch_native(

@@ -189,6 +189,155 @@ int fcpt_decode_batch(const char** paths, int n, unsigned char** outs,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Raw-data JPEG encoder (YCbCr 4:2:0 planes in, baseline JFIF out).
+//
+// The device pipeline performs the JPEG encoder's two lossy front stages
+// (RGB→YCbCr + 2x2 chroma subsampling, ops/yuv.py) before crops cross the
+// device→host link at 1.5 bytes/pixel; this entry feeds those planes
+// straight into libjpeg's raw-data API, skipping its color-convert and
+// downsample passes.  Counterpart of the reference's cv2.imwrite JPEG path
+// (reference cropper.py:554-609): same library family, same default 4:2:0
+// sampling, caller-chosen quality (cv2's default is 95).
+// ---------------------------------------------------------------------------
+
+// Encodes one image from planar YCbCr 4:2:0. y: h*w bytes; cb/cr:
+// (h/2)*(w/2) bytes each, all row-major.  h and w must be even.
+// Returns 0 on success.
+int fcpt_jpeg_encode_yuv420(const unsigned char* y, const unsigned char* cb,
+                            const unsigned char* cr, int h, int w,
+                            int quality, const char* path) {
+  if (h < 2 || w < 2 || (h & 1) || (w & 1)) return 1;
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 2;
+
+  jpeg_compress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit_handler;
+
+  unsigned char* staging = nullptr;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_compress(&cinfo);
+    std::fclose(f);
+    std::free(staging);
+    return 3;
+  }
+
+  jpeg_create_compress(&cinfo);
+  jpeg_stdio_dest(&cinfo, f);
+  cinfo.image_width = static_cast<JDIMENSION>(w);
+  cinfo.image_height = static_cast<JDIMENSION>(h);
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_YCbCr;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  cinfo.raw_data_in = TRUE;
+  cinfo.comp_info[0].h_samp_factor = 2;
+  cinfo.comp_info[0].v_samp_factor = 2;
+  cinfo.comp_info[1].h_samp_factor = 1;
+  cinfo.comp_info[1].v_samp_factor = 1;
+  cinfo.comp_info[2].h_samp_factor = 1;
+  cinfo.comp_info[2].v_samp_factor = 1;
+
+  jpeg_start_compress(&cinfo, TRUE);
+
+  // jpeg_write_raw_data reads width_in_blocks*DCTSIZE samples per row —
+  // the row width rounded up to the MCU grid.  Stage rows with the edge
+  // sample replicated into the padding; row *pointers* beyond the image
+  // bottom replicate the last row.
+  const int cw = w / 2, ch = h / 2;
+  const int ypad = ((w + 15) / 16) * 16;
+  const int cpad = ypad / 2;
+  const bool need_pad = (ypad != w);
+  JSAMPROW yrows[16], cbrows[8], crrows[8];
+  JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
+
+  if (need_pad) {
+    staging = static_cast<unsigned char*>(
+        std::malloc(static_cast<size_t>(16) * ypad + 2 * 8 * cpad));
+    if (!staging) {
+      jpeg_destroy_compress(&cinfo);
+      std::fclose(f);
+      return 4;
+    }
+  }
+
+  while (cinfo.next_scanline < cinfo.image_height) {
+    const int y0 = static_cast<int>(cinfo.next_scanline);  // multiple of 16
+    if (!need_pad) {
+      for (int r = 0; r < 16; ++r) {
+        const int yy = y0 + r < h ? y0 + r : h - 1;
+        yrows[r] = const_cast<JSAMPROW>(y + static_cast<size_t>(yy) * w);
+      }
+      for (int r = 0; r < 8; ++r) {
+        const int cy = y0 / 2 + r < ch ? y0 / 2 + r : ch - 1;
+        cbrows[r] = const_cast<JSAMPROW>(cb + static_cast<size_t>(cy) * cw);
+        crrows[r] = const_cast<JSAMPROW>(cr + static_cast<size_t>(cy) * cw);
+      }
+    } else {
+      unsigned char* ys = staging;
+      unsigned char* cbs = staging + static_cast<size_t>(16) * ypad;
+      unsigned char* crs = cbs + static_cast<size_t>(8) * cpad;
+      for (int r = 0; r < 16; ++r) {
+        const int yy = y0 + r < h ? y0 + r : h - 1;
+        unsigned char* row = ys + static_cast<size_t>(r) * ypad;
+        memcpy(row, y + static_cast<size_t>(yy) * w, w);
+        memset(row + w, row[w - 1], ypad - w);
+        yrows[r] = row;
+      }
+      for (int r = 0; r < 8; ++r) {
+        const int cy = y0 / 2 + r < ch ? y0 / 2 + r : ch - 1;
+        unsigned char* rb = cbs + static_cast<size_t>(r) * cpad;
+        unsigned char* rr = crs + static_cast<size_t>(r) * cpad;
+        memcpy(rb, cb + static_cast<size_t>(cy) * cw, cw);
+        memset(rb + cw, rb[cw - 1], cpad - cw);
+        memcpy(rr, cr + static_cast<size_t>(cy) * cw, cw);
+        memset(rr + cw, rr[cw - 1], cpad - cw);
+        cbrows[r] = rb;
+        crrows[r] = rr;
+      }
+    }
+    jpeg_write_raw_data(&cinfo, planes, 16);
+  }
+
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  std::free(staging);
+  staging = nullptr;
+  if (std::fclose(f) != 0) return 5;
+  return 0;
+}
+
+// Encodes n packed 4:2:0 images (each h*w + 2*(h/2)*(w/2) bytes, planar
+// Y|Cb|Cr) to paths[i] with n_threads workers; per-file status in oks.
+int fcpt_encode_yuv420_batch(const unsigned char* packed, int n, int h,
+                             int w, int quality, const char** paths,
+                             int n_threads, int* oks) {
+  if (n <= 0) return 0;
+  if (h < 2 || w < 2 || (h & 1) || (w & 1)) return 1;
+  if (n_threads < 1) n_threads = 1;
+  const size_t ylen = static_cast<size_t>(h) * w;
+  const size_t clen = static_cast<size_t>(h / 2) * (w / 2);
+  const size_t stride = ylen + 2 * clen;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      const unsigned char* p = packed + static_cast<size_t>(i) * stride;
+      oks[i] = fcpt_jpeg_encode_yuv420(p, p + ylen, p + ylen + clen, h, w,
+                                       quality, paths[i]);
+    }
+  };
+  std::vector<std::thread> threads;
+  const int k = n_threads < n ? n_threads : n;
+  threads.reserve(k);
+  for (int t = 0; t < k; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
