@@ -32,6 +32,7 @@ MODULES = [
     "face_crop_plus_tpu.ops.nn",
     "face_crop_plus_tpu.ops.transform",
     "face_crop_plus_tpu.ops.warp",
+    "face_crop_plus_tpu.ops.yuv",
     "face_crop_plus_tpu.ops.s2d",
     "face_crop_plus_tpu.ops.pallas.nms_kernel",
     "face_crop_plus_tpu.parallel.mesh",
