@@ -611,6 +611,43 @@ class Cropper:
 
         return yuv_encoder_available()
 
+    def _packed_upload_eligible(self) -> bool:
+        """Whether sources may upload as stored YCbCr 4:2:0 planes.
+
+        Plain 4:2:0 JPEGs can skip libjpeg's chroma upsample + color
+        conversion on the host and cross the host→device link at
+        1.5 bytes/pixel; the reconstruction runs on device inside the
+        fused detect program (within ~1 intensity level of cv2.imread).
+        Single-dispatch fused path only: detection mode, strategies
+        best/largest, no enhancement, ``crop_source="original"`` (parity
+        validation runs keep the exact cv2 decode), single device, a
+        non-CPU backend, and the native decoder present.
+        ``FCPT_PACK_UPLOAD=1``/``0`` force/disable (default ``auto``).
+        """
+        if self._fused is None or self.enh_model is not None:
+            return False
+        if self.landmarks is not None or self.det_model is None:
+            return False
+        if self.strategy not in ("best", "largest") or self.mesh is not None:
+            return False
+        if self.crop_source != "original":
+            return False
+        mode = os.environ.get("FCPT_PACK_UPLOAD", "auto")
+        if mode == "0":
+            return False
+        if mode != "1":
+            if self._device is not None:
+                platform = self._device.platform
+            else:
+                import jax
+
+                platform = jax.default_backend()
+            if platform == "cpu":
+                return False
+        from .utils.native_io import yuv_encoder_available
+
+        return yuv_encoder_available()
+
     def _crop_file_name(self, source_name: str, occurrence: int) -> str:
         """Output file name for the ``occurrence``-th face of a source image.
 
@@ -793,8 +830,11 @@ class Cropper:
             if (self.landmarks is None and self.det_model is not None)
             else None
         )
+        want_packed = self._packed_upload_eligible()
         with self.stats.stage("read", len(file_names)):
-            images, file_names = read_images(file_names, input_dir, target_max)
+            images, file_names = read_images(
+                file_names, input_dir, target_max, want_packed=want_packed
+            )
         if len(images) == 0:
             return
         paddings = None
@@ -805,9 +845,11 @@ class Cropper:
             # (sampling crops from original-resolution pixels), the rest go
             # through the staged path with host resizing.  Each program is
             # compiled once per (shape, batch_size) thanks to batch padding.
+            # Packed 4:2:0 sources group under a distinct key (they upload
+            # as (N, L) rows and reconstruct on device).
             by_shape: dict[tuple, list[int]] = defaultdict(list)
             for i, im in enumerate(images):
-                by_shape[im.shape].append(i)
+                by_shape[getattr(im, "group_key", im.shape)].append(i)
 
             fused_groups = []
             classic_ids: list[int] = []
@@ -834,8 +876,16 @@ class Cropper:
                 # (half the fetch bytes); excluded when a parser is active.
                 pack = self._packed_fetch_eligible(file_names)
 
+                from .utils.io import PackedYUVImage, unpack_images
+
                 for ids in fused_groups:
-                    batch = np.stack([images[i] for i in ids])
+                    first = images[ids[0]]
+                    packed_hw = None
+                    if isinstance(first, PackedYUVImage):
+                        batch = np.stack([images[i].packed for i in ids])
+                        packed_hw = (first.h, first.w)
+                    else:
+                        batch = np.stack([images[i] for i in ids])
                     n_true = len(batch)
                     if n_true < self.batch_size:
                         batch, _ = pad_batch_to(batch, self.batch_size)
@@ -846,6 +896,7 @@ class Cropper:
                             return_device_crops=device_handoff,
                             valid_n=n_true,
                             pack_crops=pack,
+                            packed_hw=packed_hw,
                         )
                         crops, _lm, loc = result[:3]
                         if device_handoff:
@@ -855,7 +906,7 @@ class Cropper:
                         idx_parts.append(np.asarray(ids)[loc])
 
                 if classic_ids:
-                    sub = [images[i] for i in classic_ids]
+                    sub = unpack_images([images[i] for i in classic_ids])
                     crops2, loc2 = self._detect_crop_staged(sub)
                     if len(crops2):
                         if pack:
@@ -887,6 +938,13 @@ class Cropper:
                         crops, file_names[indices], output_dir, *groups
                     )
                 return
+
+        if want_packed:
+            # No fused group formed (odd shapes / tiny batch): the staged
+            # paths below need RGB arrays.
+            from .utils.io import unpack_images
+
+            images = unpack_images(images)
 
         if self.landmarks is None and self.det_model is None:
             indices, landmarks = list(range(len(file_names))), None

@@ -103,6 +103,104 @@ def rgb_to_yuv420_np(crops: np.ndarray) -> np.ndarray:
     )
 
 
+def _upsample2x_jnp(c: jnp.ndarray) -> jnp.ndarray:
+    """2x chroma upsample with half-pixel centers (triangle filter).
+
+    Output sample i reads chroma coordinate i/2 - 0.25: even outputs blend
+    0.75*current + 0.25*previous, odd outputs 0.75*current + 0.25*next
+    (edges clamped) — the same weights as libjpeg's "fancy" h2v2
+    upsampler, in float.  Applied per axis on (..., H2, W2) arrays.
+    """
+    for ax in (-2, -1):
+        c = jnp.moveaxis(c, ax, -1)
+        prev = jnp.concatenate([c[..., :1], c[..., :-1]], axis=-1)
+        nxt = jnp.concatenate([c[..., 1:], c[..., -1:]], axis=-1)
+        even = 0.75 * c + 0.25 * prev
+        odd = 0.75 * c + 0.25 * nxt
+        c = jnp.stack([even, odd], axis=-1).reshape(c.shape[:-1] + (-1,))
+        c = jnp.moveaxis(c, -1, ax)
+    return c
+
+
+def _upsample2x_np(c: np.ndarray) -> np.ndarray:
+    """Numpy twin of :func:`_upsample2x_jnp` (bit-identical float32 math)."""
+    for ax in (-2, -1):
+        c = np.moveaxis(c, ax, -1)
+        prev = np.concatenate([c[..., :1], c[..., :-1]], axis=-1)
+        nxt = np.concatenate([c[..., 1:], c[..., -1:]], axis=-1)
+        even = np.float32(0.75) * c + np.float32(0.25) * prev
+        odd = np.float32(0.75) * c + np.float32(0.25) * nxt
+        c = np.stack([even, odd], axis=-1).reshape(c.shape[:-1] + (-1,))
+        c = np.moveaxis(c, -1, ax)
+    return np.ascontiguousarray(c)
+
+
+def yuv420_to_rgb(packed: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Packed planar YCbCr 4:2:0 (N, L) → uint8 RGB (N, h, w, 3), on device.
+
+    The upload-side inverse of :func:`rgb_to_yuv420`: JPEG sources decode
+    straight to their *stored* 4:2:0 samples on the host
+    (``native/fcpt_io.cpp::fcpt_decode_jpeg_yuv420`` — entropy decode +
+    IDCT only), cross the host→device link at 1.5 bytes/pixel, and this
+    function performs the chroma upsample + BT.601 inverse that libjpeg
+    would have done on the host.  Pixels match ``cv2.imread`` (which runs
+    libjpeg's fixed-point "fancy" upsampler over the same stored samples)
+    within ~1 intensity level.
+    """
+    n = packed.shape[0]
+    ylen, clen = h * w, (h // 2) * (w // 2)
+    y = packed[:, :ylen].reshape(n, h, w).astype(jnp.float32)
+    cb = (
+        packed[:, ylen : ylen + clen]
+        .reshape(n, h // 2, w // 2)
+        .astype(jnp.float32)
+    )
+    cr = (
+        packed[:, ylen + clen :]
+        .reshape(n, h // 2, w // 2)
+        .astype(jnp.float32)
+    )
+    cb = _upsample2x_jnp(cb) - 128.0
+    cr = _upsample2x_jnp(cr) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(jnp.rint(rgb), 0, 255).astype(jnp.uint8)
+
+
+def yuv420_to_rgb_np(packed: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Numpy twin of :func:`yuv420_to_rgb` for host fallbacks.
+
+    Used when a packed-decoded source must take a host path after all
+    (staged fallback inside a fused run, odd shapes): identical float32
+    expressions, so host and device reconstructions are bit-identical.
+    """
+    packed = np.asarray(packed)
+    squeeze = packed.ndim == 1
+    if squeeze:
+        packed = packed[None]
+    n = packed.shape[0]
+    ylen, clen = h * w, (h // 2) * (w // 2)
+    y = packed[:, :ylen].reshape(n, h, w).astype(np.float32)
+    cb = packed[:, ylen : ylen + clen].reshape(n, h // 2, w // 2).astype(
+        np.float32
+    )
+    cr = packed[:, ylen + clen :].reshape(n, h // 2, w // 2).astype(np.float32)
+    cb = _upsample2x_np(cb) - np.float32(128.0)
+    cr = _upsample2x_np(cr) - np.float32(128.0)
+    r = y + np.float32(1.402) * cr
+    g = (
+        y
+        - np.float32(0.344136286) * cb
+        - np.float32(0.714136286) * cr
+    )
+    b = y + np.float32(1.772) * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return out[0] if squeeze else out
+
+
 def unpack_yuv420(packed: np.ndarray, output_size: tuple[int, int]):
     """Splits packed (F, L) rows into (y, cb, cr) planes (testing/tooling).
 

@@ -199,8 +199,7 @@ class FusedPipeline:
         face_lm = (face_lm - pad[None, None, jnp.array([2, 0])]) / scale
         return face_lm, valid.reshape(n * k), caps, interim
 
-    @partial(jax.jit, static_argnames=_DETECT_STATICS)
-    def _run(
+    def _run_core(
         self,
         params,
         images,
@@ -222,6 +221,8 @@ class FusedPipeline:
         the interim resize — better than the reference, which crops from
         the 1024² interim images; ``"interim"`` reproduces the reference's
         sampling (cropper.py:839-843) for bit-compatibility runs.
+        Shared trace of :meth:`_run` (RGB upload) and :meth:`_run_packed`
+        (4:2:0 upload reconstructed on device).
         """
         face_lm, valid, caps, interim = self._detect_trace(
             params, images, interim_h, interim_w, strategy, vis_threshold,
@@ -254,6 +255,58 @@ class FusedPipeline:
             )
         crops = jnp.clip(jnp.rint(crops), 0, 255).astype(jnp.uint8)
         return crops, face_lm, valid & ok, caps
+
+    @partial(jax.jit, static_argnames=_DETECT_STATICS)
+    def _run(
+        self,
+        params,
+        images,
+        interim_h,
+        interim_w,
+        strategy,
+        vis_threshold,
+        nms_threshold,
+        max_faces,
+        pre_topk,
+        variances,
+    ):
+        """Jitted :meth:`_run_core` over an RGB uint8 (N, H, W, 3) upload."""
+        return self._run_core(
+            params, images, interim_h, interim_w, strategy, vis_threshold,
+            nms_threshold, max_faces, pre_topk, variances,
+        )
+
+    @partial(jax.jit, static_argnames=_DETECT_STATICS + ("src_h", "src_w"))
+    def _run_packed(
+        self,
+        params,
+        packed,
+        src_h,
+        src_w,
+        interim_h,
+        interim_w,
+        strategy,
+        vis_threshold,
+        nms_threshold,
+        max_faces,
+        pre_topk,
+        variances,
+    ):
+        """Jitted :meth:`_run_core` over a packed 4:2:0 (N, L) upload.
+
+        Sources decoded straight to their stored YCbCr samples cross the
+        host→device link at 1.5 bytes/pixel; the chroma upsample + BT.601
+        inverse runs here, fused into the detect program
+        (:func:`face_crop_plus_tpu.ops.yuv.yuv420_to_rgb` — within ~1
+        intensity level of the host libjpeg reconstruction).
+        """
+        from .ops.yuv import yuv420_to_rgb
+
+        images = yuv420_to_rgb(packed, src_h, src_w)
+        return self._run_core(
+            params, images, interim_h, interim_w, strategy, vis_threshold,
+            nms_threshold, max_faces, pre_topk, variances,
+        )
 
     @partial(jax.jit, static_argnames=_DETECT_STATICS)
     def _run_detect(
@@ -580,11 +633,14 @@ class FusedPipeline:
         return_device_crops: bool = False,
         valid_n: int | None = None,
         pack_crops: bool = False,
+        packed_hw: tuple[int, int] | None = None,
     ):
         """Runs the fused step; returns host (crops, landmarks, indices).
 
         Args:
-            images: Uniform uint8 (N, H, W, 3) batch (original resolution).
+            images: Uniform uint8 (N, H, W, 3) batch (original resolution),
+                or — with ``packed_hw`` — a (N, L) batch of packed planar
+                YCbCr 4:2:0 rows (see ``utils.io.PackedYUVImage``).
             interim_size: Detector (width, height).
             return_device_crops: Additionally return the compacted crops as
                 a device array (padded to a power-of-two face bucket) so a
@@ -601,6 +657,10 @@ class FusedPipeline:
                 Callers gate on even output dims + JPEG targets; mutually
                 exclusive with ``return_device_crops`` in practice (the
                 parser needs RGB).
+            packed_hw: Source (height, width) when ``images`` is a packed
+                4:2:0 batch; RGB reconstruction then runs on device inside
+                the detect program.  Single-dispatch path only (strategies
+                best/largest, no enhancement) — callers gate.
 
         Returns:
             Compacted uint8 crops (F, Ho, Wo, 3), float32 landmarks
@@ -643,10 +703,22 @@ class FusedPipeline:
         else:
             run = self._run
 
+        if packed_hw is not None and (enhanced or two_program):
+            raise ValueError(
+                "packed_hw supports the single-dispatch path only "
+                "(strategies best/largest without enhancement)"
+            )
+
         from .ops.anchors import anchor_grid as _grid
 
         def dispatch(args):
-            out = run(self.det.params, imgs, ih, iw, **args)
+            if packed_hw is not None:
+                out = self._run_packed(
+                    self.det.params, imgs, packed_hw[0], packed_hw[1],
+                    ih, iw, **args,
+                )
+            else:
+                out = run(self.det.params, imgs, ih, iw, **args)
             # _run / _run_detect return caps last; _run_detect_interim
             # appends the interim batch after it.
             return out, (out[2] if enhanced else out[-1])

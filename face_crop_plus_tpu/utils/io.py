@@ -223,11 +223,53 @@ def imwrite_yuv420(
                 pass
 
 
+class PackedYUVImage:
+    """A JPEG source decoded to its stored YCbCr 4:2:0 planes (host side).
+
+    Produced by ``read_images(want_packed=True)`` for plain 4:2:0 files:
+    entropy decode + IDCT only, 1.5 bytes/pixel — the chroma upsample and
+    color conversion happen on device inside the fused detect program
+    (``ops.yuv.yuv420_to_rgb``), halving host→device upload bytes.
+    Carries just enough array surface (``shape``) for the Cropper's
+    shape bookkeeping; any host path that needs pixels calls
+    :meth:`to_rgb` (bit-identical to the device reconstruction).
+    """
+
+    __slots__ = ("packed", "h", "w")
+
+    def __init__(self, packed: np.ndarray, h: int, w: int):
+        self.packed = packed
+        self.h = h
+        self.w = w
+
+    @property
+    def shape(self) -> tuple[int, int, int]:
+        return (self.h, self.w, 3)
+
+    @property
+    def group_key(self):
+        """Fused-group key: packed sources never mix with RGB arrays."""
+        return ("yuv420", self.h, self.w)
+
+    def to_rgb(self) -> np.ndarray:
+        from ..ops.yuv import yuv420_to_rgb_np
+
+        return yuv420_to_rgb_np(self.packed, self.h, self.w)
+
+
+def unpack_images(images: list) -> list:
+    """Replaces any :class:`PackedYUVImage` entries with RGB arrays."""
+    return [
+        im.to_rgb() if isinstance(im, PackedYUVImage) else im for im in images
+    ]
+
+
 def read_images(
     file_names: list[str],
     input_dir: str,
     target_max: int | None = None,
     n_threads: int = 8,
+    want_packed: bool = False,
 ) -> tuple[list[np.ndarray], np.ndarray]:
     """Reads a batch of images from a directory.
 
@@ -249,9 +291,15 @@ def read_images(
     to trade a few intensity levels on chroma-subsampled files for decode
     throughput.
 
+    With ``want_packed``, plain 4:2:0 JPEGs (EXIF-upright) decode to
+    :class:`PackedYUVImage` instead of RGB arrays — entropy decode + IDCT
+    only; the color reconstruction runs on device.  Everything else
+    (other samplings, rotated files, non-JPEG) still decodes to RGB.
+
     Returns:
-        Tuple of a list of RGB uint8 (H, W, 3) arrays and the corresponding
-        (N,) file name array.
+        Tuple of a list of RGB uint8 (H, W, 3) arrays (and/or
+        :class:`PackedYUVImage` under ``want_packed``) and the
+        corresponding (N,) file name array.
     """
     from . import native_io
 
@@ -289,13 +337,33 @@ def read_images(
             else:
                 by_denom = {1: jpg_ids}
             for denom, ids in by_denom.items():
+                rgb_ids = ids
+                if want_packed:
+                    packed_res = native_io.decode_yuv420_batch(
+                        [paths[i] for i in ids],
+                        scale_denom=denom,
+                        n_threads=n_threads,
+                    )
+                    rgb_ids = []
+                    for i, res in zip(ids, packed_res):
+                        # EXIF-rotated files keep the RGB path (orientation
+                        # transforms on subsampled planes are lossy).
+                        if res is not None and jpeg_exif_orientation(
+                            paths[i]
+                        ) == 1:
+                            results[i] = PackedYUVImage(*res)
+                            native_ok.add(i)
+                        else:
+                            rgb_ids.append(i)
+                    if not rgb_ids:
+                        continue
                 decoded = native_io.decode_batch(
-                    [paths[i] for i in ids],
+                    [paths[i] for i in rgb_ids],
                     scale_denom=denom,
                     n_threads=n_threads,
                     fast=fast,
                 )
-                for i, img in zip(ids, decoded):
+                for i, img in zip(rgb_ids, decoded):
                     if img is not None:
                         # libjpeg ignores EXIF; transpose upright to keep
                         # pixel parity with cv2.imread's auto-orientation.

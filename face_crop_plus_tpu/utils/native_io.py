@@ -122,6 +122,25 @@ def load_library():
                 ctypes.POINTER(ctypes.c_int),  # oks
             ]
             lib.fcpt_encode_yuv420_batch.restype = ctypes.c_int
+            lib.fcpt_decode_jpeg_yuv420.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+            ]
+            lib.fcpt_decode_jpeg_yuv420.restype = ctypes.c_int
+            lib.fcpt_decode_yuv420_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.fcpt_decode_yuv420_batch.restype = ctypes.c_int
             lib._has_yuv_encoder = True
         except AttributeError:  # pragma: no cover - stale binary only
             lib._has_yuv_encoder = False
@@ -234,6 +253,74 @@ def _invert_affine_np(m: np.ndarray) -> np.ndarray:
         [np.stack([ia, ib, itx], axis=-1), np.stack([ic, id_, ity], axis=-1)],
         axis=1,
     ).astype(np.float32)
+
+
+def decode_jpeg_yuv420(
+    path: str, scale_denom: int = 1
+) -> tuple[np.ndarray, int, int] | None:
+    """Decodes a 4:2:0 JPEG to its stored planar YCbCr samples.
+
+    Entropy decode + IDCT only — no chroma upsample, no color conversion
+    (the pipeline performs the inverse on device after uploading
+    1.5 bytes/pixel; see ``ops.yuv.yuv420_to_rgb``).  Returns
+    ``(packed_1d, h, w)`` or None when the file is not plain 4:2:0 YCbCr
+    (grayscale/4:4:4/odd dims/progressive errors) — callers fall back to
+    the RGB decoder.
+    """
+    lib = load_library()
+    if lib is None or not getattr(lib, "_has_yuv_encoder", False):
+        return None
+    buf = ctypes.POINTER(ctypes.c_ubyte)()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.fcpt_decode_jpeg_yuv420(
+        path.encode(), ctypes.byref(buf), ctypes.byref(h), ctypes.byref(w),
+        scale_denom,
+    )
+    if rc != 0:
+        return None
+    try:
+        size = h.value * w.value + 2 * (h.value // 2) * (w.value // 2)
+        arr = np.ctypeslib.as_array(buf, shape=(size,)).copy()
+    finally:
+        lib.fcpt_free(buf)
+    return arr, h.value, w.value
+
+
+def decode_yuv420_batch(
+    paths: list[str], scale_denom: int = 1, n_threads: int = 8
+) -> list[tuple[np.ndarray, int, int] | None]:
+    """Batch version of :func:`decode_jpeg_yuv420` (parallel native threads).
+
+    None per file that is unreadable or not plain 4:2:0 (callers retry
+    those with the RGB decoder).
+    """
+    lib = load_library()
+    n = len(paths)
+    if lib is None or not getattr(lib, "_has_yuv_encoder", False):
+        return [None] * n
+    if n == 0:
+        return []
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    outs = (ctypes.POINTER(ctypes.c_ubyte) * n)()
+    hs = (ctypes.c_int * n)()
+    ws = (ctypes.c_int * n)()
+    oks = (ctypes.c_int * n)()
+    lib.fcpt_decode_yuv420_batch(
+        c_paths, n, outs, hs, ws, oks, scale_denom, n_threads
+    )
+    results: list[tuple[np.ndarray, int, int] | None] = []
+    for i in range(n):
+        if oks[i] == 0 and outs[i]:
+            size = hs[i] * ws[i] + 2 * (hs[i] // 2) * (ws[i] // 2)
+            arr = np.ctypeslib.as_array(outs[i], shape=(size,)).copy()
+            lib.fcpt_free(outs[i])
+            results.append((arr, hs[i], ws[i]))
+        else:
+            if outs[i]:  # pragma: no cover - defensive
+                lib.fcpt_free(outs[i])
+            results.append(None)
+    return results
 
 
 def yuv_encoder_available() -> bool:

@@ -136,6 +136,159 @@ int fcpt_decode_jpeg(const char* path, unsigned char** out, int* out_h,
   return 0;
 }
 
+// Decodes a JPEG file directly to its stored YCbCr 4:2:0 planes, skipping
+// libjpeg's chroma upsampling and color conversion (the pipeline performs
+// the inverse on device after uploading 1.5 bytes/pixel instead of RGB's
+// 3).  Requirements: 3-component YCbCr with 2x2/1x1/1x1 sampling (what
+// cameras and cv2/libjpeg writers emit) and even post-scale dimensions;
+// anything else returns 10 and the caller falls back to the RGB decoder.
+// out: malloc-owned packed buffer, planar Y|Cb|Cr (h*w + 2*(h/2)*(w/2)
+// bytes), freed with fcpt_free.  scale_denom as fcpt_decode_jpeg.
+int fcpt_decode_jpeg_yuv420(const char* path, unsigned char** out,
+                            int* out_h, int* out_w, int scale_denom) {
+  *out = nullptr;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;
+
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit_handler;
+
+  unsigned char* packed = nullptr;
+  unsigned char* staging = nullptr;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    std::free(packed);
+    std::free(staging);
+    *out = nullptr;
+    return 2;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return 3;
+  }
+
+  if (cinfo.num_components != 3 || cinfo.jpeg_color_space != JCS_YCbCr ||
+      cinfo.comp_info[0].h_samp_factor != 2 ||
+      cinfo.comp_info[0].v_samp_factor != 2 ||
+      cinfo.comp_info[1].h_samp_factor != 1 ||
+      cinfo.comp_info[1].v_samp_factor != 1 ||
+      cinfo.comp_info[2].h_samp_factor != 1 ||
+      cinfo.comp_info[2].v_samp_factor != 1) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return 10;  // not 4:2:0 — caller falls back to the RGB path
+  }
+
+  cinfo.raw_data_out = TRUE;
+  cinfo.dct_method = JDCT_ISLOW;  // parity with the RGB decode path
+  cinfo.scale_num = 1;
+  cinfo.scale_denom =
+      (scale_denom == 2 || scale_denom == 4 || scale_denom == 8) ? scale_denom
+                                                                 : 1;
+  jpeg_start_decompress(&cinfo);
+  const int w = static_cast<int>(cinfo.output_width);
+  const int h = static_cast<int>(cinfo.output_height);
+  if ((w & 1) || (h & 1) || w < 2 || h < 2) {
+    // Odd post-scale dims: the packed layout assumes exact 2x subsampling.
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return 10;
+  }
+  const int cw = w / 2, ch = h / 2;
+
+  // Raw output rows are written at the component's padded width
+  // (width_in_blocks * DCTSIZE); decode into a padded staging strip and
+  // compact into the packed layout.
+  const int ypadw =
+      static_cast<int>(cinfo.comp_info[0].width_in_blocks) * DCTSIZE;
+  const int cpadw =
+      static_cast<int>(cinfo.comp_info[1].width_in_blocks) * DCTSIZE;
+  packed = static_cast<unsigned char*>(
+      std::malloc(static_cast<size_t>(h) * w + 2 * static_cast<size_t>(ch) * cw));
+  staging = static_cast<unsigned char*>(
+      std::malloc(static_cast<size_t>(16) * ypadw + 2 * 8 * cpadw));
+  if (!packed || !staging) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    std::free(packed);
+    std::free(staging);
+    return 5;
+  }
+  unsigned char* ybase = packed;
+  unsigned char* cbbase = packed + static_cast<size_t>(h) * w;
+  unsigned char* crbase = cbbase + static_cast<size_t>(ch) * cw;
+  unsigned char* ys = staging;
+  unsigned char* cbs = staging + static_cast<size_t>(16) * ypadw;
+  unsigned char* crs = cbs + static_cast<size_t>(8) * cpadw;
+  JSAMPROW yrows[16], cbrows[8], crrows[8];
+  JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
+  for (int r = 0; r < 16; ++r) yrows[r] = ys + static_cast<size_t>(r) * ypadw;
+  for (int r = 0; r < 8; ++r) {
+    cbrows[r] = cbs + static_cast<size_t>(r) * cpadw;
+    crrows[r] = crs + static_cast<size_t>(r) * cpadw;
+  }
+
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int y0 = static_cast<int>(cinfo.output_scanline);
+    const JDIMENSION got = jpeg_read_raw_data(&cinfo, planes, 16);
+    if (got == 0) break;
+    const int ny = h - y0 < 16 ? h - y0 : 16;
+    for (int r = 0; r < ny; ++r) {
+      memcpy(ybase + static_cast<size_t>(y0 + r) * w, yrows[r], w);
+    }
+    const int c0 = y0 / 2;
+    const int nc = ch - c0 < 8 ? ch - c0 : 8;
+    for (int r = 0; r < nc; ++r) {
+      memcpy(cbbase + static_cast<size_t>(c0 + r) * cw, cbrows[r], cw);
+      memcpy(crbase + static_cast<size_t>(c0 + r) * cw, crrows[r], cw);
+    }
+  }
+
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  std::free(staging);
+
+  *out = packed;
+  *out_h = h;
+  *out_w = w;
+  return 0;
+}
+
+// Decodes n files to packed 4:2:0 in parallel (mirrors fcpt_decode_batch).
+// Failed/ineligible entries have outs[i] == nullptr and oks[i] != 0
+// (10 = not 4:2:0; the caller retries those with the RGB decoder).
+int fcpt_decode_yuv420_batch(const char** paths, int n, unsigned char** outs,
+                             int* hs, int* ws, int* oks, int scale_denom,
+                             int n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      oks[i] = fcpt_decode_jpeg_yuv420(paths[i], &outs[i], &hs[i], &ws[i],
+                                       scale_denom);
+    }
+  };
+  std::vector<std::thread> threads;
+  const int k = n_threads < n ? n_threads : n;
+  threads.reserve(k);
+  for (int t = 0; t < k; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return 0;
+}
+
 // Reads only the JPEG header; returns full-resolution dimensions.
 int fcpt_jpeg_dims(const char* path, int* out_h, int* out_w) {
   FILE* f = std::fopen(path, "rb");

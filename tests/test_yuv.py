@@ -129,6 +129,173 @@ def test_encode_batch(tmp_path, rng):
         assert np.abs(dec - crops[i].astype(int)).mean() < 6.0
 
 
+class TestPackedUpload:
+    """JPEG → stored 4:2:0 planes → device-side RGB reconstruction."""
+
+    @needs_encoder
+    def test_decode_reconstruct_matches_cv2(self, tmp_path, rng):
+        from face_crop_plus_tpu.ops.yuv import yuv420_to_rgb, yuv420_to_rgb_np
+        from face_crop_plus_tpu.utils.native_io import decode_jpeg_yuv420
+
+        rgb = _natural_image(rng, 64, 80)
+        path = str(tmp_path / "src.jpg")
+        assert imwrite(path, rgb)
+        res = decode_jpeg_yuv420(path)
+        assert res is not None
+        packed, h, w = res
+        assert (h, w) == (64, 80)
+        assert packed.size == h * w + 2 * (h // 2) * (w // 2)
+
+        rec = yuv420_to_rgb_np(packed, h, w)
+        ref = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        diff = np.abs(rec.astype(int) - ref.astype(int))
+        # Same stored samples; float triangle upsample + BT.601 inverse vs
+        # libjpeg's fixed-point "fancy" path: rounding-order only.
+        assert diff.mean() < 0.6
+        assert diff.max() <= 2
+
+        dev = np.asarray(yuv420_to_rgb(np.asarray(packed)[None], h, w))[0]
+        assert np.array_equal(dev, rec)
+
+    @needs_encoder
+    def test_decode_falls_back_for_non_420(self, tmp_path, rng):
+        from face_crop_plus_tpu.utils.native_io import (
+            decode_jpeg_yuv420,
+            decode_yuv420_batch,
+        )
+
+        rgb = _natural_image(rng)
+        gray = str(tmp_path / "gray.jpg")
+        cv2.imwrite(gray, cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY))
+        assert decode_jpeg_yuv420(gray) is None
+        ok = str(tmp_path / "ok.jpg")
+        assert imwrite(ok, rgb)
+        res = decode_yuv420_batch([gray, ok, str(tmp_path / "missing.jpg")])
+        assert res[0] is None and res[2] is None
+        assert res[1] is not None and res[1][1:] == (64, 64)
+
+    @needs_encoder
+    def test_read_images_want_packed(self, tmp_path, rng):
+        from face_crop_plus_tpu.utils.io import (
+            PackedYUVImage,
+            read_images,
+            unpack_images,
+        )
+
+        d = tmp_path / "mix"
+        d.mkdir()
+        rgb = _natural_image(rng, 32, 48)
+        imwrite(str(d / "a.jpg"), rgb)
+        imwrite(str(d / "b.png"), rgb)
+        images, names = read_images(
+            ["a.jpg", "b.png"], str(d), want_packed=True
+        )
+        assert list(names) == ["a.jpg", "b.png"]
+        assert isinstance(images[0], PackedYUVImage)
+        assert images[0].shape == (32, 48, 3)
+        assert images[0].group_key == ("yuv420", 32, 48)
+        assert isinstance(images[1], np.ndarray)
+        plain = unpack_images(images)
+        assert all(isinstance(im, np.ndarray) for im in plain)
+        # Reconstruction stays within JPEG distance of the original.
+        assert np.abs(plain[0].astype(int) - rgb.astype(int)).mean() < 6.0
+
+    @needs_encoder
+    def test_e2e_packed_upload_equals_rgb_upload(self, tmp_path, rng,
+                                                 monkeypatch):
+        from face_crop_plus_tpu import Cropper
+        import face_crop_plus_tpu.cropper as cropper_mod
+        from face_crop_plus_tpu.utils.io import PackedYUVImage
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        for i in range(4):
+            imwrite(str(d / f"pic_{i}.jpg"), _natural_image(rng, 120, 160))
+
+        monkeypatch.setenv("FCPT_PACK_FETCH", "0")
+
+        def run(name, upload):
+            monkeypatch.setenv("FCPT_PACK_UPLOAD", "1" if upload else "0")
+            out = str(tmp_path / name)
+            with pytest.warns(UserWarning, match="random"):
+                c = Cropper(
+                    output_size=64,
+                    resize_size=128,
+                    det_threshold=-1.0,
+                    enh_threshold=None,
+                    device="cpu",
+                    batch_size=4,
+                    strategy="largest",
+                )
+            c.det_model.vis_threshold = -1.0
+            c.process_dir(str(d), out, desc=None)
+            return out, c
+
+        seen = {"packed": 0}
+        orig = cropper_mod.read_images
+
+        def spy(names, directory, target_max=None, n_threads=8,
+                want_packed=False):
+            imgs, kept = orig(
+                names, directory, target_max, n_threads, want_packed
+            )
+            seen["packed"] += sum(
+                isinstance(im, PackedYUVImage) for im in imgs
+            )
+            return imgs, kept
+
+        monkeypatch.setattr(cropper_mod, "read_images", spy)
+        up_dir, c = run("up", True)
+        assert c._packed_upload_eligible()
+        assert seen["packed"] == 4  # every source uploaded packed
+        rgb_dir, _ = run("rgb", False)
+
+        files = sorted(os.listdir(up_dir))
+        assert files == sorted(os.listdir(rgb_dir))
+        assert files == [f"pic_{i}.jpg" for i in range(4)]
+        for f in files:
+            a = cv2.imread(os.path.join(up_dir, f)).astype(int)
+            b = cv2.imread(os.path.join(rgb_dir, f)).astype(int)
+            # Device reconstruction is within ~1 level of the host decode;
+            # crops from the two paths stay within JPEG-rounding distance.
+            assert np.abs(a - b).mean() < 2.0
+
+    def test_gate_rejects_unsupported_configs(self, tmp_path, monkeypatch):
+        from face_crop_plus_tpu import Cropper
+
+        monkeypatch.setenv("FCPT_PACK_UPLOAD", "1")
+        with pytest.warns(UserWarning, match="random"):
+            c_all = Cropper(
+                output_size=64,
+                resize_size=128,
+                det_threshold=-1.0,
+                enh_threshold=None,
+                device="cpu",
+                strategy="all",
+            )
+        assert not c_all._packed_upload_eligible()
+        with pytest.warns(UserWarning, match="random"):
+            c_int = Cropper(
+                output_size=64,
+                resize_size=128,
+                det_threshold=-1.0,
+                enh_threshold=None,
+                device="cpu",
+                crop_source="interim",
+            )
+        assert not c_int._packed_upload_eligible()
+        monkeypatch.delenv("FCPT_PACK_UPLOAD", raising=False)
+        with pytest.warns(UserWarning, match="random"):
+            c_cpu = Cropper(
+                output_size=64,
+                resize_size=128,
+                det_threshold=-1.0,
+                enh_threshold=None,
+                device="cpu",
+            )
+        assert not c_cpu._packed_upload_eligible()  # auto: off on CPU
+
+
 class TestPackedFetchE2E:
     """Detection-mode process_dir with packed fetches forced on (CPU)."""
 
