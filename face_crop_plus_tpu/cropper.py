@@ -618,17 +618,18 @@ class Cropper:
         conversion on the host and cross the host→device link at
         1.5 bytes/pixel; the reconstruction runs on device inside the
         fused detect program (within ~1 intensity level of cv2.imread).
-        Single-dispatch fused path only: detection mode, strategies
-        best/largest, no enhancement, ``crop_source="original"`` (parity
-        validation runs keep the exact cv2 decode), single device, a
-        non-CPU backend, and the native decoder present.
+        Fused detect paths only: detection mode (any strategy — strategy
+        "all" warps from the device-resident reconstruction), no
+        enhancement, ``crop_source="original"`` (parity validation runs
+        keep the exact cv2 decode), single device, a non-CPU backend, and
+        the native decoder present.
         ``FCPT_PACK_UPLOAD=1``/``0`` force/disable (default ``auto``).
         """
         if self._fused is None or self.enh_model is not None:
             return False
         if self.landmarks is not None or self.det_model is None:
             return False
-        if self.strategy not in ("best", "largest") or self.mesh is not None:
+        if self.mesh is not None:
             return False
         if self.crop_source != "original":
             return False

@@ -308,6 +308,38 @@ class FusedPipeline:
             nms_threshold, max_faces, pre_topk, variances,
         )
 
+    @partial(jax.jit, static_argnames=_DETECT_STATICS + ("src_h", "src_w"))
+    def _run_detect_packed(
+        self,
+        params,
+        packed,
+        src_h,
+        src_w,
+        interim_h,
+        interim_w,
+        strategy,
+        vis_threshold,
+        nms_threshold,
+        max_faces,
+        pre_topk,
+        variances,
+    ):
+        """Detect-only program over a packed 4:2:0 upload (strategy "all").
+
+        Also returns the device-resident RGB reconstruction so the second
+        program (:meth:`_crop_selected`) warps the kept faces from it —
+        the reconstruction costs HBM traffic only; nothing extra crosses
+        the host link.
+        """
+        from .ops.yuv import yuv420_to_rgb
+
+        images = yuv420_to_rgb(packed, src_h, src_w)
+        face_lm, valid, caps, _interim = self._detect_trace(
+            params, images, interim_h, interim_w, strategy, vis_threshold,
+            nms_threshold, max_faces, pre_topk, variances,
+        )
+        return face_lm, valid, caps, images
+
     @partial(jax.jit, static_argnames=_DETECT_STATICS)
     def _run_detect(
         self,
@@ -659,8 +691,9 @@ class FusedPipeline:
                 parser needs RGB).
             packed_hw: Source (height, width) when ``images`` is a packed
                 4:2:0 batch; RGB reconstruction then runs on device inside
-                the detect program.  Single-dispatch path only (strategies
-                best/largest, no enhancement) — callers gate.
+                the detect program (strategy "all" warps from the
+                device-resident reconstruction).  Not supported with
+                enhancement or ``crop_source="interim"`` — callers gate.
 
         Returns:
             Compacted uint8 crops (F, Ho, Wo, 3), float32 landmarks
@@ -703,22 +736,28 @@ class FusedPipeline:
         else:
             run = self._run
 
-        if packed_hw is not None and (enhanced or two_program):
+        if packed_hw is not None and (
+            enhanced or (two_program and self.crop_source == "interim")
+        ):
             raise ValueError(
-                "packed_hw supports the single-dispatch path only "
-                "(strategies best/largest without enhancement)"
+                "packed_hw supports the detect paths without enhancement "
+                "and with crop_source='original' only"
             )
 
         from .ops.anchors import anchor_grid as _grid
 
         def dispatch(args):
             if packed_hw is not None:
-                out = self._run_packed(
+                pr = self._run_detect_packed if two_program else self._run_packed
+                out = pr(
                     self.det.params, imgs, packed_hw[0], packed_hw[1],
                     ih, iw, **args,
                 )
-            else:
-                out = run(self.det.params, imgs, ih, iw, **args)
+                # caps sit at index 2 for the packed detect-only program
+                # (its last output is the RGB reconstruction) and last for
+                # the single-dispatch program.
+                return out, (out[2] if two_program else out[-1])
+            out = run(self.det.params, imgs, ih, iw, **args)
             # _run / _run_detect return caps last; _run_detect_interim
             # appends the interim batch after it.
             return out, (out[2] if enhanced else out[-1])
@@ -742,6 +781,8 @@ class FusedPipeline:
             # Warp the kept set in bounded power-of-two chunks; padding rows
             # repeat the last kept slot and are dropped below.
             src_imgs, lm_scale, window = imgs, 1.0, None
+            if packed_hw is not None:
+                src_imgs = out[3]  # device-resident RGB reconstruction
             if self.crop_source == "interim":
                 h, w = images.shape[1:3]
                 if (h, w) != (ih, iw):

@@ -260,20 +260,58 @@ class TestPackedUpload:
             # crops from the two paths stay within JPEG-rounding distance.
             assert np.abs(a - b).mean() < 2.0
 
+    @needs_encoder
+    def test_e2e_packed_upload_strategy_all(self, tmp_path, rng,
+                                            monkeypatch):
+        """Two-program "all" path warps from the device reconstruction."""
+        from face_crop_plus_tpu import Cropper
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        for i in range(4):
+            imwrite(str(d / f"pic_{i}.jpg"), _natural_image(rng, 120, 160))
+        monkeypatch.setenv("FCPT_PACK_FETCH", "0")
+
+        def run(name, upload):
+            monkeypatch.setenv("FCPT_PACK_UPLOAD", "1" if upload else "0")
+            out = str(tmp_path / name)
+            with pytest.warns(UserWarning, match="random"):
+                c = Cropper(
+                    output_size=64,
+                    resize_size=128,
+                    det_threshold=-1.0,
+                    enh_threshold=None,
+                    device="cpu",
+                    batch_size=4,
+                    strategy="all",
+                )
+            c.det_model.vis_threshold = -1.0
+            c.process_dir(str(d), out, desc=None)
+            return out, c
+
+        up_dir, c = run("up_all", True)
+        assert c._packed_upload_eligible()
+        rgb_dir, _ = run("rgb_all", False)
+        files = sorted(os.listdir(up_dir))
+        assert files == sorted(os.listdir(rgb_dir)) and files
+        for f in files:
+            a = cv2.imread(os.path.join(up_dir, f)).astype(int)
+            b = cv2.imread(os.path.join(rgb_dir, f)).astype(int)
+            assert np.abs(a - b).mean() < 2.0
+
     def test_gate_rejects_unsupported_configs(self, tmp_path, monkeypatch):
         from face_crop_plus_tpu import Cropper
 
         monkeypatch.setenv("FCPT_PACK_UPLOAD", "1")
         with pytest.warns(UserWarning, match="random"):
-            c_all = Cropper(
+            c_enh = Cropper(
                 output_size=64,
                 resize_size=128,
                 det_threshold=-1.0,
-                enh_threshold=None,
+                enh_threshold=0.01,
                 device="cpu",
-                strategy="all",
             )
-        assert not c_all._packed_upload_eligible()
+        assert not c_enh._packed_upload_eligible()
         with pytest.warns(UserWarning, match="random"):
             c_int = Cropper(
                 output_size=64,
