@@ -571,19 +571,25 @@ class Cropper:
     # Saving (host)
     # ------------------------------------------------------------------
 
-    def _packed_fetch_eligible(self, file_names) -> bool:
+    def _packed_fetch_eligible(
+        self, file_names, parser_handoff: bool = False
+    ) -> bool:
         """Whether this batch's crops can come down as packed 4:2:0 rows.
 
         Device-packed fetches (``FusedPipeline.process(pack_crops=True)``)
         halve the device→host crop bytes but are only byte-equivalent for
         JPEG targets (the packing *is* the JPEG encoder's lossy front
-        half).  Requirements: a fused pipeline, no parser (it consumes RGB
-        crops), even output dims, every output file a .jpg/.jpeg, the
-        native raw-data encoder present, and a non-CPU backend (on the CPU
-        backend there is no device link to save; override with
-        ``FCPT_PACK_FETCH=1``/``0``).
+        half).  Requirements: a fused pipeline, no parser consuming host
+        crops (``parser_handoff`` marks batches whose parser reads the
+        still-RGB *device* crop array instead — packing then only touches
+        the host-bound save copy), even output dims, every output file a
+        .jpg/.jpeg, the native raw-data encoder present, and a non-CPU
+        backend (on the CPU backend there is no device link to save;
+        override with ``FCPT_PACK_FETCH=1``/``0``).
         """
-        if self._fused is None or self.par_model is not None:
+        if self._fused is None:
+            return False
+        if self.par_model is not None and not parser_handoff:
             return False
         w, h = self.output_size
         if w % 2 or h % 2 or w < 2 or h < 2:
@@ -618,14 +624,15 @@ class Cropper:
         conversion on the host and cross the host→device link at
         1.5 bytes/pixel; the reconstruction runs on device inside the
         fused detect program (within ~1 intensity level of cv2.imread).
-        Fused detect paths only: detection mode (any strategy — strategy
-        "all" warps from the device-resident reconstruction), no
-        enhancement, ``crop_source="original"`` (parity validation runs
-        keep the exact cv2 decode), single device, a non-CPU backend, and
-        the native decoder present.
+        Fused detect paths only: detection mode (any strategy — the
+        strategy-"all" and gated-enhancement paths warp plain crops from
+        the device-resident reconstruction),
+        ``crop_source="original"`` (parity validation runs keep the
+        exact cv2 decode), single device, a non-CPU backend, and the
+        native decoder present.
         ``FCPT_PACK_UPLOAD=1``/``0`` force/disable (default ``auto``).
         """
-        if self._fused is None or self.enh_model is not None:
+        if self._fused is None:
             return False
         if self.landmarks is not None or self.det_model is None:
             return False
@@ -874,8 +881,12 @@ class Cropper:
                 )
                 dev_crops = None
                 # JPEG-bound crops come down as device-packed 4:2:0 rows
-                # (half the fetch bytes); excluded when a parser is active.
-                pack = self._packed_fetch_eligible(file_names)
+                # (half the fetch bytes); with a parser active this needs
+                # the device handoff (the parser reads the RGB device
+                # array, so only the save copy crosses the link packed).
+                pack = self._packed_fetch_eligible(
+                    file_names, parser_handoff=device_handoff
+                )
 
                 from .utils.io import PackedYUVImage, unpack_images
 
@@ -932,7 +943,18 @@ class Cropper:
                                 dev_crops, valid_n=len(crops)
                             )
                         else:
-                            groups = self.par_model.predict(crops)
+                            host_in = crops
+                            if pack:
+                                # The device handle fell through (degenerate
+                                # transform / >max_warp_chunk faces): the
+                                # parser reads the host reconstruction of
+                                # the packed rows — bounded by the same
+                                # 4:2:0 loss the saved JPEGs carry.
+                                from .ops.yuv import yuv420_to_rgb_np
+
+                                w, h = self.output_size
+                                host_in = yuv420_to_rgb_np(crops, h, w)
+                            groups = self.par_model.predict(host_in)
                 file_names = np.asarray(file_names)
                 with self.stats.stage("save", len(crops)):
                     self.save_groups(

@@ -340,6 +340,39 @@ class FusedPipeline:
         )
         return face_lm, valid, caps, images
 
+    @partial(jax.jit, static_argnames=_DETECT_STATICS + ("src_h", "src_w"))
+    def _run_detect_interim_packed(
+        self,
+        params,
+        packed,
+        src_h,
+        src_w,
+        interim_h,
+        interim_w,
+        strategy,
+        vis_threshold,
+        nms_threshold,
+        max_faces,
+        pre_topk,
+        variances,
+    ):
+        """Packed-upload variant of :meth:`_run_detect_interim`.
+
+        Enhancement-active batches reconstruct RGB on device and also keep
+        the reconstruction resident: gated images super-resolve the interim
+        while non-gated crops (``crop_source="original"``) warp the
+        full-resolution reconstruction — neither recrosses the host link.
+        """
+        from .ops.yuv import yuv420_to_rgb
+
+        images = yuv420_to_rgb(packed, src_h, src_w)
+        face_lm, valid, caps, interim = self._detect_trace(
+            params, images, interim_h, interim_w, strategy, vis_threshold,
+            nms_threshold, max_faces, pre_topk, variances,
+        )
+        interim_u8 = jnp.clip(jnp.rint(interim), 0, 255).astype(jnp.uint8)
+        return face_lm, valid, caps, interim_u8, images
+
     @partial(jax.jit, static_argnames=_DETECT_STATICS)
     def _run_detect(
         self,
@@ -686,14 +719,15 @@ class FusedPipeline:
                 (F, L) instead of RGB (F, Ho, Wo, 3) — half the
                 device→host bytes for JPEG-bound crops (the save path
                 feeds the planes straight to the native raw-data encoder).
-                Callers gate on even output dims + JPEG targets; mutually
-                exclusive with ``return_device_crops`` in practice (the
-                parser needs RGB).
+                Callers gate on even output dims + JPEG targets; composes
+                with ``return_device_crops`` (the device handle stays RGB
+                for the parser — only the host-bound save copy is packed).
             packed_hw: Source (height, width) when ``images`` is a packed
                 4:2:0 batch; RGB reconstruction then runs on device inside
-                the detect program (strategy "all" warps from the
-                device-resident reconstruction).  Not supported with
-                enhancement or ``crop_source="interim"`` — callers gate.
+                the detect program (the strategy-"all" and enhancement
+                paths warp plain crops from the device-resident
+                reconstruction).  Not supported with
+                ``crop_source="interim"`` — callers gate.
 
         Returns:
             Compacted uint8 crops (F, Ho, Wo, 3), float32 landmarks
@@ -737,26 +771,32 @@ class FusedPipeline:
             run = self._run
 
         if packed_hw is not None and (
-            enhanced or (two_program and self.crop_source == "interim")
+            (enhanced or two_program) and self.crop_source == "interim"
         ):
             raise ValueError(
-                "packed_hw supports the detect paths without enhancement "
-                "and with crop_source='original' only"
+                "packed_hw supports crop_source='original' only on the "
+                "two-program and enhancement paths"
             )
 
         from .ops.anchors import anchor_grid as _grid
 
         def dispatch(args):
             if packed_hw is not None:
-                pr = self._run_detect_packed if two_program else self._run_packed
+                if enhanced:
+                    pr = self._run_detect_interim_packed
+                elif two_program:
+                    pr = self._run_detect_packed
+                else:
+                    pr = self._run_packed
                 out = pr(
                     self.det.params, imgs, packed_hw[0], packed_hw[1],
                     ih, iw, **args,
                 )
-                # caps sit at index 2 for the packed detect-only program
-                # (its last output is the RGB reconstruction) and last for
-                # the single-dispatch program.
-                return out, (out[2] if two_program else out[-1])
+                # caps sit at index 2 for the packed detect-only programs
+                # (outputs after them stay device-resident: the interim
+                # and/or RGB reconstruction) and last for the
+                # single-dispatch program.
+                return out, (out[2] if enhanced or two_program else out[-1])
             out = run(self.det.params, imgs, ih, iw, **args)
             # _run / _run_detect return caps last; _run_detect_interim
             # appends the interim batch after it.
@@ -765,8 +805,15 @@ class FusedPipeline:
         out = self.det.dispatch_with_growth(dispatch, len(_grid(ih, iw)), valid_n)
 
         if enhanced:
+            src_imgs, src_hw = imgs, images.shape[1:3]
+            if packed_hw is not None:
+                # Plain (non-gated) crops warp the device-resident RGB
+                # reconstruction; the gate geometry uses the true source
+                # size (the packed batch is (N, L)).
+                src_imgs, src_hw = out[4], packed_hw
+                out = out[:4]
             return self._finish_enhanced(
-                out, imgs, images.shape[1:3], (iw, ih), valid_n,
+                out, src_imgs, src_hw, (iw, ih), valid_n,
                 return_device_crops, pack=pack_crops,
             )
 

@@ -201,11 +201,12 @@ class TestPackedUpload:
         assert np.abs(plain[0].astype(int) - rgb.astype(int)).mean() < 6.0
 
     @needs_encoder
-    def test_e2e_packed_upload_equals_rgb_upload(self, tmp_path, rng,
+    def test_e2e_packed_upload_equals_rgb_upload(self, tmp_path,
                                                  monkeypatch):
         from face_crop_plus_tpu import Cropper
         import face_crop_plus_tpu.cropper as cropper_mod
         from face_crop_plus_tpu.utils.io import PackedYUVImage
+        rng = np.random.default_rng(42)
 
         d = tmp_path / "imgs"
         d.mkdir()
@@ -261,10 +262,11 @@ class TestPackedUpload:
             assert np.abs(a - b).mean() < 2.0
 
     @needs_encoder
-    def test_e2e_packed_upload_strategy_all(self, tmp_path, rng,
+    def test_e2e_packed_upload_strategy_all(self, tmp_path,
                                             monkeypatch):
         """Two-program "all" path warps from the device reconstruction."""
         from face_crop_plus_tpu import Cropper
+        rng = np.random.default_rng(42)
 
         d = tmp_path / "imgs"
         d.mkdir()
@@ -299,19 +301,134 @@ class TestPackedUpload:
             b = cv2.imread(os.path.join(rgb_dir, f)).astype(int)
             assert np.abs(a - b).mean() < 2.0
 
-    def test_gate_rejects_unsupported_configs(self, tmp_path, monkeypatch):
-        from face_crop_plus_tpu import Cropper
+    @needs_encoder
+    @pytest.mark.parametrize("gate_all", [False, True])
+    def test_pipeline_packed_upload_enhanced(self, tmp_path, gate_all):
+        """Enhancement-active packed uploads equal the RGB-upload path.
 
-        monkeypatch.setenv("FCPT_PACK_UPLOAD", "1")
+        Both variants feed the same reconstruction (the device unpack is
+        bit-identical to the numpy twin), so crops agree modulo program
+        fusion rounding — for the all-gated case via the SR trunk, for the
+        none-gated case via plain warps from the device-resident
+        reconstruction (the new ``_run_detect_interim_packed`` output).
+        """
+        from face_crop_plus_tpu import Cropper
+        from face_crop_plus_tpu.ops.yuv import yuv420_to_rgb_np
+        from face_crop_plus_tpu.utils.native_io import decode_jpeg_yuv420
+
+        rng = np.random.default_rng(42)
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        paths = []
+        for i in range(4):
+            p = str(d / f"pic_{i}.jpg")
+            imwrite(p, _natural_image(rng, 120, 160))
+            paths.append(p)
+        packed = np.stack([decode_jpeg_yuv420(p)[0] for p in paths])
+        rgb = np.stack(
+            [yuv420_to_rgb_np(row, 120, 160) for row in packed]
+        )
+
         with pytest.warns(UserWarning, match="random"):
-            c_enh = Cropper(
+            c = Cropper(
                 output_size=64,
                 resize_size=128,
                 det_threshold=-1.0,
                 enh_threshold=0.01,
                 device="cpu",
+                batch_size=4,
             )
-        assert not c_enh._packed_upload_eligible()
+        c.det_model.vis_threshold = -1.0
+        # Gate every image (face factors are <= 1) or none (they are > 0).
+        c.enh_model.min_face_factor = 1.0 if gate_all else 0.0
+
+        crops_r, lm_r, idx_r = c._fused.process(rgb, (128, 128))
+        crops_p, lm_p, idx_p = c._fused.process(
+            packed, (128, 128), packed_hw=(120, 160)
+        )
+        assert np.array_equal(idx_r, idx_p)
+        assert len(crops_r) and len(crops_r) == len(crops_p)
+        assert np.allclose(lm_r, lm_p, atol=1e-3)
+        diff = np.abs(crops_r.astype(int) - crops_p.astype(int))
+        # Identical inputs through two jit programs: rounding-order only
+        # (the all-gated case runs the random-weight SR trunk, which can
+        # amplify a one-level interim difference at clip boundaries).
+        assert diff.mean() < (1.0 if gate_all else 0.1)
+
+    @needs_encoder
+    def test_e2e_packed_upload_enhanced(self, tmp_path, monkeypatch):
+        """process_dir engages packed uploads with enhancement active."""
+        from face_crop_plus_tpu import Cropper
+        rng = np.random.default_rng(42)
+        import face_crop_plus_tpu.cropper as cropper_mod
+        from face_crop_plus_tpu.utils.io import PackedYUVImage
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        for i in range(4):
+            imwrite(str(d / f"pic_{i}.jpg"), _natural_image(rng, 120, 160))
+        monkeypatch.setenv("FCPT_PACK_FETCH", "0")
+
+        def run(name, upload):
+            monkeypatch.setenv("FCPT_PACK_UPLOAD", "1" if upload else "0")
+            out = str(tmp_path / name)
+            with pytest.warns(UserWarning, match="random"):
+                c = Cropper(
+                    output_size=64,
+                    resize_size=128,
+                    det_threshold=-1.0,
+                    enh_threshold=0.01,
+                    device="cpu",
+                    batch_size=4,
+                )
+            c.det_model.vis_threshold = -1.0
+            c.enh_model.min_face_factor = 0.0  # none gated: plain crops
+            c.process_dir(str(d), out, desc=None)
+            return out, c
+
+        seen = {"packed": 0}
+        orig = cropper_mod.read_images
+
+        def spy(names, directory, target_max=None, n_threads=8,
+                want_packed=False):
+            imgs, kept = orig(
+                names, directory, target_max, n_threads, want_packed
+            )
+            seen["packed"] += sum(
+                isinstance(im, PackedYUVImage) for im in imgs
+            )
+            return imgs, kept
+
+        monkeypatch.setattr(cropper_mod, "read_images", spy)
+        up_dir, c = run("up_enh", True)
+        assert c._packed_upload_eligible()
+        assert seen["packed"] == 4
+        rgb_dir, _ = run("rgb_enh", False)
+        files = sorted(os.listdir(up_dir))
+        assert files == sorted(os.listdir(rgb_dir)) and files
+        for f in files:
+            a = cv2.imread(os.path.join(up_dir, f)).astype(int)
+            b = cv2.imread(os.path.join(rgb_dir, f)).astype(int)
+            assert np.abs(a - b).mean() < 2.0
+
+    def test_gate_rejects_unsupported_configs(self, tmp_path, monkeypatch):
+        from face_crop_plus_tpu import Cropper
+
+        monkeypatch.setenv("FCPT_PACK_UPLOAD", "1")
+        if yuv_encoder_available():
+            # Enhancement-active pipelines are packed-upload eligible (the
+            # gated interim and the plain-crop reconstruction both stay on
+            # device).
+            with pytest.warns(UserWarning, match="random"):
+                c_enh = Cropper(
+                    output_size=64,
+                    resize_size=128,
+                    det_threshold=-1.0,
+                    enh_threshold=0.01,
+                    device="cpu",
+                )
+            assert c_enh._packed_upload_eligible()
         with pytest.warns(UserWarning, match="random"):
             c_int = Cropper(
                 output_size=64,
@@ -428,6 +545,57 @@ class TestPackedFetchE2E:
         assert np.array_equal(packed, rgb_to_yuv420_np(raw))
 
     @needs_encoder
+    @needs_encoder
+    def test_packed_with_parser_handoff(self, tmp_path, jpeg_dir,
+                                        monkeypatch, rng):
+        """Parser-active batches pack the save copy when the parser reads
+        the device crop array (single fused group ⇒ device handoff)."""
+        import face_crop_plus_tpu.utils.io as fio
+
+        def run(name, fetch):
+            monkeypatch.setenv("FCPT_PACK_FETCH", "1" if fetch else "0")
+            return self._run(
+                tmp_path, jpeg_dir, name,
+                mask_groups={"eyes": [4, 5]},
+                attr_groups={"g": [6]},
+            )
+
+        raw_dir, _ = run("p_raw", False)
+
+        writes = []
+        orig = fio.imwrite_yuv420
+        monkeypatch.setattr(
+            fio,
+            "imwrite_yuv420",
+            lambda path, packed, size: writes.append(path) or orig(
+                path, packed, size
+            ),
+        )
+        packed_dir, cropper = run("p_packed", True)
+        assert cropper._packed_fetch_eligible(
+            ["pic_0.jpg"], parser_handoff=True
+        )
+        assert not cropper._packed_fetch_eligible(["pic_0.jpg"])
+        assert writes  # crop saves went through the packed writer
+
+        def tree(root):
+            out = {}
+            for dirpath, _dirs, files in os.walk(root):
+                rel = os.path.relpath(dirpath, root)
+                for f in files:
+                    out[os.path.join(rel, f)] = os.path.join(dirpath, f)
+            return out
+
+        raw_t, packed_t = tree(raw_dir), tree(packed_dir)
+        # Identical grouping tree (parser consumed identical device RGB
+        # crops) and identical mask rasters; crop pixels within JPEG
+        # writer rounding.
+        assert sorted(raw_t) == sorted(packed_t) and raw_t
+        for rel in raw_t:
+            a = cv2.imread(raw_t[rel]).astype(int)
+            b = cv2.imread(packed_t[rel]).astype(int)
+            assert np.abs(a - b).mean() < 1.5
+
     def test_gate_rejects_non_jpeg_targets(self, tmp_path, jpeg_dir,
                                            monkeypatch):
         monkeypatch.setenv("FCPT_PACK_FETCH", "1")

@@ -149,8 +149,69 @@ def run_parse() -> dict:
         "method": f"median of {passes} passes, batch {batch}",
         "passes": fps_list,
         "standalone_host_input_faces_per_s": _median(host_list),
+        "e2e_process_dir_faces_per_s": _parse_e2e(),
         "warmup_s": round(warmup_s, 1),
     }
+
+
+def _parse_e2e() -> float | None:
+    """Secondary config-4 figure: full ``process_dir`` with masks on disk.
+
+    Detect → crop → parse → attr/mask tree + 0/255 mask rasters, all
+    outputs written — the fetch-bound variant (bit-packed device masks +
+    parser-handoff packed crop saves shorten the link).  Skipped with
+    ``FCPT_BENCH_PARSE_E2E=0``.
+    """
+    if os.environ.get("FCPT_BENCH_PARSE_E2E", "1") == "0":
+        return None
+    import bench
+
+    import jax
+
+    platforms = {d.platform for d in jax.devices()}
+    accel = "tpu" if "tpu" in platforms else sorted(platforms)[0]
+    import warnings
+
+    from face_crop_plus_tpu import Cropper
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cropper = Cropper(
+            output_size=bench.OUTPUT,
+            resize_size=bench.RESIZE,
+            strategy="largest",
+            det_threshold=0.6,
+            enh_threshold=None,
+            attr_groups={"glasses": [6]},
+            mask_groups={"glasses": [6], "skin": [1]},
+            batch_size=bench.BATCH,
+            num_processes=4,
+            device=accel,
+        )
+    if cropper.det_model is not None and not cropper.det_model.pretrained:
+        cropper.det_model.vis_threshold = -1.0
+        cropper.det_model.auto_grow = False
+        cropper.det_model._cap_warned = True
+
+    warm = bench.make_dataset(bench.BATCH)
+    cropper.process_dir(warm, warm + "_out", desc=None)
+    n = int(os.environ.get("FCPT_BENCH_PARSE_E2E_N", "128"))
+    data = bench.make_dataset(n)
+    out = data + "_out"
+    t0 = time.perf_counter()
+    cropper.process_dir(data, out, desc=None)
+    dt = time.perf_counter() - t0
+    faces = sum(
+        1
+        for dirpath, _d, files in os.walk(out)
+        if not dirpath.endswith("_mask")
+        for _f in files
+    )
+    log(f"[parse] e2e process_dir: {faces} crops (+masks) in {dt:.1f}s "
+        f"-> {faces / dt:.1f} faces/s")
+    for d in (warm, warm + "_out", data, out):
+        shutil.rmtree(d, ignore_errors=True)
+    return round(faces / dt, 1)
 
 
 def run_scale() -> dict:
