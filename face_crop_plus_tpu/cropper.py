@@ -626,17 +626,16 @@ class Cropper:
         fused detect program (within ~1 intensity level of cv2.imread).
         Fused detect paths only: detection mode (any strategy — the
         strategy-"all" and gated-enhancement paths warp plain crops from
-        the device-resident reconstruction),
+        the device-resident reconstruction; mesh runs shard the packed
+        (N, L) rows over the data axis like any batch-leading array),
         ``crop_source="original"`` (parity validation runs keep the
-        exact cv2 decode), single device, a non-CPU backend, and the
-        native decoder present.
+        exact cv2 decode), a non-CPU backend, and the native decoder
+        present.
         ``FCPT_PACK_UPLOAD=1``/``0`` force/disable (default ``auto``).
         """
         if self._fused is None:
             return False
         if self.landmarks is not None or self.det_model is None:
-            return False
-        if self.mesh is not None:
             return False
         if self.crop_source != "original":
             return False

@@ -55,6 +55,97 @@ def test_fused_process_on_mesh_nondivisible(mesh, rng):
     np.testing.assert_array_equal(indices, np.arange(5))
 
 
+def test_fused_packed_upload_on_mesh_matches_rgb(mesh, rng):
+    """Packed 4:2:0 uploads shard over the mesh like RGB batches.
+
+    The device reconstruction (``yuv420_to_rgb``) is bit-identical to the
+    numpy twin, so a packed run must equal an RGB run over the
+    reconstructed pixels exactly — partitioning must not change the math.
+    """
+    from face_crop_plus_tpu.models.detection import RetinaFace
+    from face_crop_plus_tpu.ops.yuv import rgb_to_yuv420_np, yuv420_to_rgb_np
+    from face_crop_plus_tpu.pipeline import FusedPipeline
+    from face_crop_plus_tpu.utils.landmarks import make_target_landmarks
+
+    with pytest.warns(UserWarning):
+        det = RetinaFace(strategy="best", vis=-1.0, pre_topk=32, mesh=mesh)
+    fused = FusedPipeline(
+        det_model=det,
+        target_landmarks=make_target_landmarks((32, 32), 0.65),
+        output_size=(32, 32),
+        border_mode="reflect_101",
+        mesh=mesh,
+    )
+    src = rng.integers(0, 255, (16, 64, 48, 3), dtype=np.uint8)
+    packed = rgb_to_yuv420_np(src)
+    recon = yuv420_to_rgb_np(packed, 64, 48)
+
+    crops_p, lm_p, idx_p = fused.process(packed, (96, 96), packed_hw=(64, 48))
+    crops_r, lm_r, idx_r = fused.process(recon, (96, 96))
+    assert crops_p.shape == (16, 32, 32, 3)
+    np.testing.assert_array_equal(idx_p, idx_r)
+    np.testing.assert_allclose(lm_p, lm_r, atol=1e-4)
+    np.testing.assert_array_equal(crops_p, crops_r)
+
+
+def test_cropper_packed_upload_on_mesh_e2e(mesh, tmp_path, rng):
+    """process_dir with FCPT_PACK_UPLOAD=1 on the mesh == single device."""
+    import os
+
+    from face_crop_plus_tpu.utils.native_io import yuv_encoder_available
+
+    if not yuv_encoder_available():
+        pytest.skip("native YUV decoder unavailable")
+
+    import jax
+
+    from face_crop_plus_tpu import Cropper
+    from face_crop_plus_tpu.utils.io import imread_rgb, imwrite
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    yy, xx = np.mgrid[0:64, 0:64]
+    for i in range(8):
+        base = np.stack(
+            [xx * 255 // 64, yy * 255 // 64, (xx + yy) * 255 // 128], axis=-1
+        )
+        img = np.clip(
+            base + rng.normal(0, 8, (64, 64, 3)), 0, 255
+        ).astype(np.uint8)
+        imwrite(str(d / f"m{i}.jpg"), img)
+
+    kwargs = dict(
+        output_size=32,
+        resize_size=64,
+        strategy="best",
+        det_threshold=-1.0,
+        enh_threshold=None,
+        batch_size=8,
+    )
+    os.environ["FCPT_PACK_UPLOAD"] = "1"
+    try:
+        with pytest.warns(UserWarning):
+            c1 = Cropper(device=jax.devices()[0], **kwargs)
+        assert c1._packed_upload_eligible()
+        out1 = str(tmp_path / "out_single")
+        c1.process_dir(str(d), out1, desc=None)
+
+        with pytest.warns(UserWarning):
+            c2 = Cropper(mesh=mesh, **kwargs)
+        assert c2._packed_upload_eligible()
+        out2 = str(tmp_path / "out_mesh")
+        c2.process_dir(str(d), out2, desc=None)
+    finally:
+        del os.environ["FCPT_PACK_UPLOAD"]
+
+    files1, files2 = sorted(os.listdir(out1)), sorted(os.listdir(out2))
+    assert files1 == files2 == [f"m{i}.jpg" for i in range(8)]
+    for f in files1:
+        a = imread_rgb(os.path.join(out1, f)).astype(int)
+        b = imread_rgb(os.path.join(out2, f)).astype(int)
+        assert np.abs(a - b).max() <= 1, f  # same math modulo partitioning
+
+
 def test_cropper_end_to_end_on_mesh(mesh, tmp_path, rng):
     import os
 
