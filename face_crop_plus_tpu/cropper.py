@@ -1115,9 +1115,10 @@ class Cropper:
         grouped attr/mask subtrees are not consulted.  Individual files are
         written atomically (temp + rename), so a crash never leaves a
         truncated crop that would be frozen by a resume; under
-        ``strategy="all"`` the completeness check is per-source occurrence
-        0, so a process killed between two faces of the *same* source can
-        lose that source's later faces on resume.
+        ``strategy="all"`` :meth:`save_group` writes each source's
+        occurrence 0 *last*, so the marker's existence implies the
+        source's other faces already landed — a kill between two faces of
+        the same source re-processes that source instead of losing them.
         """
         if output_dir is None:
             output_dir = input_dir + "_faces"

@@ -536,21 +536,26 @@ class RRDBNet:
         """Resolves (trunk mode, strip_rows) for a batch shape.
 
         ws2d needs even W; above the unstripped pixel budget the dense
-        blocks run in H-strips whose rows fit the strip budget.  Full s2d
-        needs both dims even.  Anything else falls back to the plain trunk
-        (with a once-per-process debug log so the fallback is visible)."""
+        blocks run in H-strips whose rows fit the strip budget (inputs so
+        wide that even the minimum 32-row strip busts it fall back to the
+        plain trunk — its live set is ~10x smaller).  Full s2d needs both
+        dims even.  Anything else falls back to the plain trunk (with a
+        once-per-process log so the fallback is visible)."""
+        reason = None
         if self.trunk_mode == "ws2d" and w % 2 == 0:
             if h * w <= self.ws2d_max_pixels:
                 return "ws2d", None
-            # Strip rows: fill the per-strip budget with the fewest, most
-            # even strips (overlap waste is lowest when rows divides h),
-            # 8-row aligned, >= 32.
-            rows_max = max(32, self.ws2d_strip_pixels // w)
-            n_strips = -(-h // rows_max)
-            rows = max(32, (-(-h // n_strips) + 7) & ~7)
-            if h > rows + 2 * _DENSE_HALO:
-                return "ws2d", rows
-            return "ws2d", None
+            if 32 * w <= self.ws2d_strip_pixels:
+                # Strip rows: fill the per-strip budget with the fewest,
+                # most even strips (overlap waste is lowest when rows
+                # divides h), 8-row aligned, >= 32.
+                rows_max = self.ws2d_strip_pixels // w
+                n_strips = -(-h // rows_max)
+                rows = max(32, (-(-h // n_strips) + 7) & ~7)
+                if h > rows + 2 * _DENSE_HALO:
+                    return "ws2d", rows
+                return "ws2d", None
+            reason = "minimum 32-row strip exceeds the HBM strip budget"
         if self.trunk_mode == "s2d" and h % 2 == 0 and w % 2 == 0:
             return "s2d", None
         if self.trunk_mode != "plain" and not getattr(self, "_fallback_logged", False):
@@ -561,7 +566,7 @@ class RRDBNet:
                 "trunk_mode=%s unavailable for shape (%d, %d) (%s); "
                 "running the plain trunk",
                 self.trunk_mode, h, w,
-                "odd width" if w % 2 else "odd height",
+                reason or ("odd width" if w % 2 else "odd height"),
             )
         return "plain", None
 

@@ -763,7 +763,8 @@ class FusedPipeline:
         # single-program path.
         enhanced = self.enh is not None and self.mesh is None
         two_program = self.det.strategy == "all" and self.mesh is None
-        if enhanced or (two_program and self.crop_source == "interim"):
+        uses_interim = enhanced or (two_program and self.crop_source == "interim")
+        if uses_interim:
             run = self._run_detect_interim
         elif two_program:
             run = self._run_detect
@@ -799,8 +800,10 @@ class FusedPipeline:
                 return out, (out[2] if enhanced or two_program else out[-1])
             out = run(self.det.params, imgs, ih, iw, **args)
             # _run / _run_detect return caps last; _run_detect_interim
-            # appends the interim batch after it.
-            return out, (out[2] if enhanced else out[-1])
+            # (any reason it was selected: enhancement, or two-program
+            # "all" with crop_source="interim") appends the interim batch
+            # after the caps at index 2.
+            return out, (out[2] if uses_interim else out[-1])
 
         out = self.det.dispatch_with_growth(dispatch, len(_grid(ih, iw)), valid_n)
 

@@ -339,22 +339,37 @@ def read_images(
             for denom, ids in by_denom.items():
                 rgb_ids = ids
                 if want_packed:
-                    packed_res = native_io.decode_yuv420_batch(
-                        [paths[i] for i in ids],
-                        scale_denom=denom,
-                        n_threads=n_threads,
-                    )
-                    rgb_ids = []
-                    for i, res in zip(ids, packed_res):
-                        # EXIF-rotated files keep the RGB path (orientation
-                        # transforms on subsampled planes are lossy).
-                        if res is not None and jpeg_exif_orientation(
-                            paths[i]
-                        ) == 1:
-                            results[i] = PackedYUVImage(*res)
-                            native_ok.add(i)
-                        else:
-                            rgb_ids.append(i)
+                    # EXIF-rotated files keep the RGB path (orientation
+                    # transforms on subsampled planes are lossy).  The
+                    # orientation probe is a header scan — run it BEFORE
+                    # the full decode (and in parallel) so rotated files
+                    # are not entropy-decoded twice.
+                    if len(ids) > 1 and n_threads > 1:
+                        from multiprocessing.pool import ThreadPool
+
+                        with ThreadPool(min(n_threads, len(ids))) as pool:
+                            orients = pool.map(
+                                jpeg_exif_orientation,
+                                [paths[i] for i in ids],
+                            )
+                    else:
+                        orients = [
+                            jpeg_exif_orientation(paths[i]) for i in ids
+                        ]
+                    upright = [i for i, o in zip(ids, orients) if o == 1]
+                    rgb_ids = [i for i, o in zip(ids, orients) if o != 1]
+                    if upright:
+                        packed_res = native_io.decode_yuv420_batch(
+                            [paths[i] for i in upright],
+                            scale_denom=denom,
+                            n_threads=n_threads,
+                        )
+                        for i, res in zip(upright, packed_res):
+                            if res is not None:
+                                results[i] = PackedYUVImage(*res)
+                                native_ok.add(i)
+                            else:
+                                rgb_ids.append(i)
                     if not rgb_ids:
                         continue
                 decoded = native_io.decode_batch(

@@ -30,6 +30,40 @@ _lib = None
 _lib_lock = threading.Lock()
 _build_attempted = False
 
+_TAG_PATH = _SO_PATH + ".hosttag"
+
+
+def _host_tag() -> str:
+    """Fingerprint of this host's ISA surface (machine + cpu flags hash).
+
+    The library is compiled ``-march=native``; make's mtime comparison
+    cannot see that a newer-than-source binary was built on a *different*
+    host (shared checkout, rsync -a), which would SIGILL on first call.
+    A sidecar tag written at build time makes the mismatch detectable.
+    """
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:  # pragma: no cover - non-procfs platforms
+        pass
+    digest = hashlib.sha256(flags.encode()).hexdigest()[:16]
+    return f"{platform.machine()}:{digest}"
+
+
+def _read_tag() -> str | None:
+    try:
+        with open(_TAG_PATH) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
 
 def _try_build() -> bool:
     global _build_attempted
@@ -38,16 +72,23 @@ def _try_build() -> bool:
     _build_attempted = True
     if not os.path.isfile(os.path.join(_NATIVE_DIR, "fcpt_io.cpp")):
         return False
+    cmd = ["make", "-C", _NATIVE_DIR, "libfcpt_io.so"]
+    if os.path.isfile(_SO_PATH) and _read_tag() != _host_tag():
+        # Binary of unknown/foreign provenance: force the rebuild (mtimes
+        # alone would accept a newer-than-source foreign-host .so).
+        cmd.insert(1, "-B")
     try:
-        subprocess.run(
-            ["make", "-C", _NATIVE_DIR, "libfcpt_io.so"],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except Exception:
         return False
-    return os.path.isfile(_SO_PATH)
+    if not os.path.isfile(_SO_PATH):
+        return False
+    try:
+        with open(_TAG_PATH, "w") as f:
+            f.write(_host_tag())
+    except OSError:  # pragma: no cover - read-only checkout
+        pass
+    return True
 
 
 def load_library():
@@ -59,9 +100,15 @@ def load_library():
         # Always run make once per process: it is a no-op when the .so is
         # fresh, and rebuilds a stale/foreign-host binary (the library is
         # compiled -march=native and never shipped).  A present .so is
-        # still used if the toolchain is unavailable.
-        if not _try_build() and not os.path.isfile(_SO_PATH):
-            return None
+        # still used if the toolchain is unavailable — unless its host tag
+        # affirmatively mismatches (a foreign -march=native binary would
+        # SIGILL, worse than the cv2/PIL fallback).
+        if not _try_build():
+            if not os.path.isfile(_SO_PATH):
+                return None
+            tag = _read_tag()
+            if tag is not None and tag != _host_tag():
+                return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
@@ -94,17 +141,21 @@ def load_library():
             ctypes.c_int,
         ]
         lib.fcpt_decode_batch.restype = ctypes.c_int
-        lib.fcpt_warp_affine_u8.argtypes = [
-            ctypes.POINTER(ctypes.c_ubyte),  # images
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n,h,w,c
-            ctypes.POINTER(ctypes.c_float),  # inv_mats
-            ctypes.POINTER(ctypes.c_int),  # img_idx
-            ctypes.POINTER(ctypes.c_int),  # windows (nullable)
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # f, oh, ow
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # border_mode, exact, n_threads
-            ctypes.POINTER(ctypes.c_ubyte),  # out
-        ]
-        lib.fcpt_warp_affine_u8.restype = ctypes.c_int
+        try:  # stale pre-warp .so without a toolchain to rebuild it
+            lib.fcpt_warp_affine_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte),  # images
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n,h,w,c
+                ctypes.POINTER(ctypes.c_float),  # inv_mats
+                ctypes.POINTER(ctypes.c_int),  # img_idx
+                ctypes.POINTER(ctypes.c_int),  # windows (nullable)
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,  # f, oh, ow
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,  # border_mode, exact, n_threads
+                ctypes.POINTER(ctypes.c_ubyte),  # out
+            ]
+            lib.fcpt_warp_affine_u8.restype = ctypes.c_int
+            lib._has_native_warp = True
+        except AttributeError:  # pragma: no cover - stale binary only
+            lib._has_native_warp = False
         try:  # stale pre-encoder .so without a toolchain to rebuild it
             lib.fcpt_jpeg_encode_yuv420.argtypes = [
                 ctypes.POINTER(ctypes.c_ubyte),  # y
@@ -422,7 +473,11 @@ def warp_affine_batch_native(
     bits) — within one intensity level of the exact path, faster.
     """
     lib = load_library()
-    if lib is None or border_mode not in _BORDER_ENUM:
+    if (
+        lib is None
+        or not getattr(lib, "_has_native_warp", False)
+        or border_mode not in _BORDER_ENUM
+    ):
         return None
     images = np.ascontiguousarray(images, np.uint8)
     n, h, w, c = images.shape

@@ -102,6 +102,50 @@ def test_run_interim_vs_original_dispatch(rng, det):
     np.testing.assert_array_equal(out_o[2], out_i[2])
 
 
+def test_strategy_all_interim_caps_diagnostic(rng):
+    """strategy="all" + crop_source="interim" feeds caps (not interim pixels)
+    to the growth policy.
+
+    Regression: the two-program "all" path with interim sampling selects
+    ``_run_detect_interim`` (caps at index 2, interim appended after); the
+    dispatch used to pass the uint8 interim batch as the caps diagnostic,
+    so typical pixel values (~255 > max_faces) triggered a spurious 4x cap
+    growth/recompile on every run and masked genuine cap saturation.
+    """
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        # auto_grow off: vis=-1.0 makes every anchor a candidate, so any
+        # growth here would be *genuine* saturation; the regression under
+        # test is the diagnostic's identity, not the growth policy.
+        det = RetinaFace(
+            strategy="all", vis=-1.0, max_faces=8, pre_topk=64,
+            auto_grow=False,
+        )
+    fp = _pipe(det, "interim")
+    pre = (det.max_faces, det.pre_topk)
+
+    imgs = rng.integers(0, 255, (2, 120, 160, 3), dtype=np.uint8)
+    seen = {}
+    orig = det.grown_args
+
+    def spy(caps, args, n_anchors):
+        seen["caps"] = np.asarray(caps)
+        return orig(caps, args, n_anchors)
+
+    det.grown_args = spy
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # genuine cap-binding warning
+        crops, lm, idx = fp.process(imgs, (128, 128))
+    # The diagnostic must be the (N, 2) caps array (candidate/keep counts),
+    # not the (N, 128, 128, 3) uint8 interim image batch.
+    assert seen["caps"].shape == (2, 2)
+    assert (det.max_faces, det.pre_topk) == pre  # auto_grow off: unchanged
+    assert crops.shape[1:] == (64, 64, 3)
+    assert len(crops) == len(lm) == len(idx)
+
+
 def test_crop_source_validation():
     with pytest.raises(ValueError, match="crop_source"):
         FusedPipeline(

@@ -77,6 +77,46 @@ def test_read_images_native_matches_cv2_for_oriented_jpeg(tmp_path, rng):
     assert d.mean() < 1.0
 
 
+def test_packed_read_prefilters_rotated_files(tmp_path, rng, monkeypatch):
+    """EXIF-rotated JPEGs never enter the packed 4:2:0 decode.
+
+    The orientation probe is a header scan and runs BEFORE the full
+    decode, so a rotated file is entropy-decoded exactly once (on the RGB
+    path) instead of packed-decoded, discarded, and decoded again.
+    """
+    cv2 = pytest.importorskip("cv2")
+    from face_crop_plus_tpu.utils import native_io
+    from face_crop_plus_tpu.utils.io import PackedYUVImage
+
+    if not native_io.yuv_encoder_available():
+        pytest.skip("native YUV decoder unavailable")
+
+    from face_crop_plus_tpu.utils.io import imwrite
+
+    img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    _write_oriented_jpeg(str(tmp_path / "rot.jpg"), img, 6)
+    imwrite(str(tmp_path / "up.jpg"), img)  # cv2 default: 4:2:0, no EXIF
+
+    packed_calls = []
+    orig = native_io.decode_yuv420_batch
+
+    def spy(paths, scale_denom=1, n_threads=8):
+        packed_calls.extend(os.path.basename(p) for p in paths)
+        return orig(paths, scale_denom=scale_denom, n_threads=n_threads)
+
+    monkeypatch.setattr(native_io, "decode_yuv420_batch", spy)
+    images, names = read_images(
+        ["rot.jpg", "up.jpg"], str(tmp_path), want_packed=True
+    )
+    assert list(names) == ["rot.jpg", "up.jpg"]
+    # The rotated file never reached the packed decoder...
+    assert packed_calls == ["up.jpg"]
+    # ...and still decodes upright via the RGB path.
+    assert not isinstance(images[0], PackedYUVImage)
+    assert images[0].shape == (64, 48, 3)
+    assert isinstance(images[1], PackedYUVImage)
+
+
 def test_orientation_found_after_large_appn_segment(tmp_path, rng):
     """APP1 sitting beyond 64 KB of APPn (ICC/XMP-style) is still found."""
     img = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)

@@ -91,3 +91,42 @@ def test_read_images_fallback_for_png(tmp_path, rng):
     imgs, names = read_images(["a.png", "b.jpg"], str(d))
     assert len(imgs) == 2
     np.testing.assert_array_equal(imgs[0], img)  # png path is lossless
+
+
+def test_host_tag_mismatch_forces_rebuild(tmp_path, monkeypatch):
+    """A foreign/unknown host tag forces a -B rebuild and rewrites the tag.
+
+    The library is compiled -march=native; make's mtime check cannot catch
+    a newer-than-source binary built on a different host (rsync'd checkout),
+    which would SIGILL at the first call.
+    """
+    import subprocess
+
+    tag = native_io._host_tag()
+    assert ":" in tag and len(tag) > 8
+
+    # Simulate a foreign binary: plant a mismatching tag, reset the
+    # once-per-process latches, and record the make invocation.
+    monkeypatch.setattr(native_io, "_lib", None)
+    monkeypatch.setattr(native_io, "_build_attempted", False)
+    calls = []
+    orig_run = subprocess.run
+
+    def spy(cmd, **kw):
+        calls.append(list(cmd))
+        return orig_run(cmd, **kw)
+
+    monkeypatch.setattr(subprocess, "run", spy)
+    with open(native_io._TAG_PATH, "w") as f:
+        f.write("foreign:0000000000000000")
+    lib = native_io.load_library()
+    assert lib is not None
+    assert calls and "-B" in calls[0]  # forced rebuild, not an mtime no-op
+    assert native_io._read_tag() == tag  # tag rewritten for this host
+
+    # Fresh tag + fresh state: plain (no -B) make.
+    monkeypatch.setattr(native_io, "_lib", None)
+    monkeypatch.setattr(native_io, "_build_attempted", False)
+    calls.clear()
+    assert native_io.load_library() is not None
+    assert calls and "-B" not in calls[0]

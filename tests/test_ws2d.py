@@ -131,6 +131,24 @@ def test_ws2d_size_ceiling_switches_to_strips():
     assert m._mode_for_shape(1024, 1024) == ("ws2d", None)
 
 
+def test_ws2d_pathological_width_falls_back_to_plain():
+    """When even the minimum 32-row strip busts the strip budget (very wide
+    inputs), ws2d falls back to the plain trunk instead of silently
+    exceeding the HBM budget the stripping exists to enforce."""
+    m = RRDBNet(num_blocks=1, trunk_mode="ws2d")
+    w = m.ws2d_strip_pixels // 32 + 2  # even; 32 rows alone exceed budget
+    if w % 2:
+        w += 1
+    mode, rows = m._mode_for_shape(64, w)
+    assert (mode, rows) == ("plain", None)
+    # At exactly the budget the stripped path still engages.
+    w_ok = m.ws2d_strip_pixels // 32
+    if w_ok % 2:
+        w_ok -= 1
+    mode, rows = m._mode_for_shape(128, w_ok)  # far above unstripped budget
+    assert mode == "ws2d" and rows is not None
+
+
 def test_ws2d_strips_forward_equivalence():
     """Stripped dense blocks are exact vs the unstripped ws2d trunk,
     including top/bottom image edges, odd H, and a non-dividing strip."""
