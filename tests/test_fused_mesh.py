@@ -89,7 +89,7 @@ def test_fused_packed_upload_on_mesh_matches_rgb(mesh, rng):
 
 
 def test_cropper_packed_upload_on_mesh_e2e(mesh, tmp_path, rng):
-    """process_dir with FCPT_PACK_UPLOAD=1 on the mesh == single device."""
+    """process_dir with packed uploads AND fetches on the mesh == single device."""
     import os
 
     from face_crop_plus_tpu.utils.native_io import yuv_encoder_available
@@ -123,6 +123,7 @@ def test_cropper_packed_upload_on_mesh_e2e(mesh, tmp_path, rng):
         batch_size=8,
     )
     os.environ["FCPT_PACK_UPLOAD"] = "1"
+    os.environ["FCPT_PACK_FETCH"] = "1"  # packed crop fetch off the mesh too
     try:
         with pytest.warns(UserWarning):
             c1 = Cropper(device=jax.devices()[0], **kwargs)
@@ -137,6 +138,7 @@ def test_cropper_packed_upload_on_mesh_e2e(mesh, tmp_path, rng):
         c2.process_dir(str(d), out2, desc=None)
     finally:
         del os.environ["FCPT_PACK_UPLOAD"]
+        del os.environ["FCPT_PACK_FETCH"]
 
     files1, files2 = sorted(os.listdir(out1)), sorted(os.listdir(out2))
     assert files1 == files2 == [f"m{i}.jpg" for i in range(8)]
