@@ -323,13 +323,39 @@ def cpu_baseline() -> float:
     return fps
 
 
-def main():
-    _install_compile_listener()
+def _devices_with_retry(attempts: int = 2, wait_s: float = 45.0):
+    """jax.devices() with backoff: tunneled TPU backends fail transiently.
+
+    A flaky backend at bench time must not turn the round's artifact into
+    a traceback — retry, then fall back to the CPU backend with the
+    failure recorded (the JSON stays parseable and honestly labeled).
+    """
     import jax
 
-    platforms = {d.platform for d in jax.devices()}
+    last = None
+    for i in range(attempts):
+        try:
+            return jax.devices(), None
+        except RuntimeError as e:  # backend init failure (Unavailable etc.)
+            last = e
+            log(f"backend init failed (attempt {i + 1}/{attempts}): {e}")
+            if i + 1 < attempts:
+                time.sleep(wait_s)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    return jax.devices("cpu"), f"accelerator backend unavailable: {last}"
+
+
+def main():
+    _install_compile_listener()
+
+    devices, backend_error = _devices_with_retry()
+    platforms = {d.platform for d in devices}
     accel = "tpu" if "tpu" in platforms else sorted(platforms)[0]
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {devices}")
 
     if MODE not in ("detect", "landmarks"):
         from tools.bench_configs import run_mode
@@ -392,6 +418,7 @@ def main():
                 "compiled_programs": COMPILE_STATS["programs"],
                 "backend_compile_s": round(COMPILE_STATS["backend_s"], 1),
                 "device_profile": profile,
+                **({"backend_error": backend_error} if backend_error else {}),
             }
         )
     )
