@@ -103,6 +103,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Pixels the fused path's crops sample: 'original' "
                         "(full source resolution; higher quality) or "
                         "'interim' (detector resolution; reference parity).")
+    p.add_argument("-pu", "--pack-upload", type=str, default="auto",
+                   choices=["auto", "1", "0"],
+                   help="Upload plain 4:2:0 JPEG sources as their stored "
+                        "YCbCr planes (1.5 B/px; RGB reconstruction on "
+                        "device). 'auto': on for accelerator backends on "
+                        "the fused detect paths.")
+    p.add_argument("-pf", "--pack-fetch", type=str, default="auto",
+                   choices=["auto", "1", "0"],
+                   help="Fetch JPEG-bound crops as device-packed YCbCr "
+                        "4:2:0 planes (half the device->host bytes; host "
+                        "encodes via libjpeg's raw-data API). 'auto': on "
+                        "for accelerator backends.")
     return p
 
 
@@ -144,6 +156,15 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
             kwargs[key] = None
 
     kwargs["auto_grow"] = not kwargs.pop("no_auto_grow")
+
+    # Wire-packing flags map onto the env knobs the library reads (the
+    # flag wins over a pre-set variable only when explicitly non-default,
+    # mirroring the config<flag layering above).
+    for flag, env in (("pack_upload", "FCPT_PACK_UPLOAD"),
+                      ("pack_fetch", "FCPT_PACK_FETCH")):
+        val = kwargs.pop(flag)
+        if val != "auto":
+            os.environ[env] = val
 
     if kwargs.get("shard_index") == "auto":
         from .parallel import host_shard, init_distributed

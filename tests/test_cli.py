@@ -109,3 +109,20 @@ def test_config_help_key_is_ignored(tmp_path):
     kwargs = parse_args(["-i", str(tmp_path), "-c", str(cfg), "-dt", "-1"])
     assert "help" not in kwargs
     assert kwargs["batch_size"] == 3
+
+
+def test_pack_flags_set_env(monkeypatch):
+    import os
+
+    monkeypatch.delenv("FCPT_PACK_UPLOAD", raising=False)
+    monkeypatch.delenv("FCPT_PACK_FETCH", raising=False)
+    # Default 'auto' leaves the env untouched (library-side auto gating).
+    kw = parse_args(["-i", "x", "-d", "cpu"])
+    assert "pack_upload" not in kw and "pack_fetch" not in kw
+    assert "FCPT_PACK_UPLOAD" not in os.environ
+    assert "FCPT_PACK_FETCH" not in os.environ
+    # Explicit values map onto the env knobs the library reads.
+    kw = parse_args(["-i", "x", "-d", "cpu", "-pu", "1", "-pf", "0"])
+    assert "pack_upload" not in kw and "pack_fetch" not in kw
+    assert os.environ["FCPT_PACK_UPLOAD"] == "1"
+    assert os.environ["FCPT_PACK_FETCH"] == "0"
