@@ -688,14 +688,20 @@ class Cropper:
         for face, source in zip(faces, file_names):
             writes.append((seen[source], source, face))
             seen[source] += 1
-        # Occurrence 0 is written LAST (stable partition): its existence is
-        # the resume marker (``process_dir(skip_existing=True)`` checks
-        # occurrence 0 only), so under strategy="all" it must imply the
-        # source's other faces already landed — otherwise a kill between
-        # face _0 and face _1 would silently lose _1+ on every resume.
-        for occurrence, source, face in (
-            [w for w in writes if w[0] != 0] + [w for w in writes if w[0] == 0]
-        ):
+        if self.strategy == "all":
+            # Occurrence 0 is written LAST (stable partition): its existence
+            # is the resume marker (``process_dir(skip_existing=True)``
+            # checks occurrence 0 only), so it must imply the source's other
+            # ``_N``-suffixed faces already landed — otherwise a kill between
+            # face _0 and face _1 would silently lose _1+ on every resume.
+            # Only under strategy="all": other strategies give repeated
+            # occurrences (duplicate landmark rows for one file) the SAME
+            # name, where the reference's sequential writes make the last
+            # row win — reordering would flip that overwrite winner.
+            writes = [w for w in writes if w[0] != 0] + [
+                w for w in writes if w[0] == 0
+            ]
+        for occurrence, source, face in writes:
             out_name = self._crop_file_name(source, occurrence)
             face = np.asarray(face)
             if face.ndim == 1:

@@ -476,6 +476,21 @@ def test_landmark_only_multiface_vs_reference(tmp_path, demo_dir):
         diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
         assert diff.mean() < 1.0
 
+    # Regression (found by config fuzzing): with a NON-"all" strategy the
+    # two rows share ONE output name and the reference's sequential writes
+    # make the LAST row win; our resume-marker reordering (occurrence 0
+    # written last) must not apply there or it flips the overwrite winner.
+    common["strategy"] = "largest"
+    ref_out2 = str(tmp_path / "ref_out2")
+    RefCropper(device="cpu", **common).process_dir(str(in_dir), ref_out2, desc=None)
+    our_out2 = str(tmp_path / "our_out2")
+    OurCropper(device="cpu", **common).process_dir(str(in_dir), our_out2, desc=None)
+    (only,) = os.listdir(ref_out2)
+    assert os.listdir(our_out2) == [only]
+    a = cv2.imread(os.path.join(ref_out2, only)).astype(np.int32)
+    b = cv2.imread(os.path.join(our_out2, only)).astype(np.int32)
+    assert np.abs(a - b).mean() < 1.0  # same (last) row survives
+
 
 # ---------------------------------------------------------------------------
 # as_batch geometry vs the reference implementation on random shapes
