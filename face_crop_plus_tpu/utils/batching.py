@@ -94,6 +94,11 @@ def as_batch(
         else:
             scale = th / h
             rw, rh = int(w * scale), th
+        # Extreme aspect ratios can truncate the scaled short side to 0
+        # pixels; the reference crashes inside cv2.resize there
+        # (utils.py:334, inv_scale_x > 0 assertion).  Clamp to 1 px and
+        # continue — one pathological image must not kill a directory run.
+        rw, rh = max(rw, 1), max(rh, 1)
         top, left = (th - rh) // 2, (tw - rw) // 2
         pad = [top, th - rh - top, left, tw - rw - left]
 

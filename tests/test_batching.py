@@ -85,3 +85,26 @@ def test_bucket_size():
 def test_pad_batch_to_empty_batch():
     padded, valid = pad_batch_to(np.zeros((0, 4, 4, 3), np.uint8), 8)
     assert padded.shape == (8, 4, 4, 3) and valid == 0
+
+
+def test_as_batch_extreme_aspect_ratio_survives():
+    """Degenerate aspect ratios clamp to a 1-px side instead of crashing.
+
+    The reference crashes inside cv2.resize when the scaled short side
+    truncates to 0 (reference utils.py:334, inv_scale_x > 0); one
+    pathological image must not kill a directory run.
+    """
+    import numpy as np
+
+    from face_crop_plus_tpu.utils.batching import as_batch
+
+    for shape, size in [
+        ((800, 4, 3), (600, 16)),
+        ((4, 800, 3), (16, 600)),
+        ((3000, 3, 3), (64, 64)),
+    ]:
+        batch, unscales, pads = as_batch([np.zeros(shape, np.uint8)], size)
+        assert batch.shape == (1, size[1], size[0], 3)
+        t, b, l, r = pads[0]
+        assert t + b < size[1] and l + r < size[0]  # >= 1 px of image left
+        assert np.isfinite(unscales[0]) and unscales[0] > 0
