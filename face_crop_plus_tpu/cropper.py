@@ -623,21 +623,34 @@ class Cropper:
         Plain 4:2:0 JPEGs can skip libjpeg's chroma upsample + color
         conversion on the host and cross the host→device link at
         1.5 bytes/pixel; the reconstruction runs on device inside the
-        fused detect program (within ~1 intensity level of cv2.imread).
-        Fused detect paths only: detection mode (any strategy — the
-        strategy-"all" and gated-enhancement paths warp plain crops from
-        the device-resident reconstruction; mesh runs shard the packed
-        (N, L) rows over the data axis like any batch-leading array),
-        ``crop_source="original"`` (parity validation runs keep the
-        exact cv2 decode), a non-CPU backend, and the native decoder
-        present.
+        consuming program (within ~1 intensity level of cv2.imread).
+        Two families qualify:
+
+        * fused detect paths: detection mode (any strategy — the
+          strategy-"all" and gated-enhancement paths warp plain crops
+          from the device-resident reconstruction; mesh runs shard the
+          packed (N, L) rows over the data axis like any batch-leading
+          array) with ``crop_source="original"`` (parity validation runs
+          keep the exact cv2 decode);
+        * the pure no-crop modes (reference README.md:200-244 — neither
+          landmarks nor detector): sources feed the enhancer/parser
+          directly, reconstructed inside their jitted programs.
+
+        Both also require a non-CPU backend and the native decoder.
         ``FCPT_PACK_UPLOAD=1``/``0`` force/disable (default ``auto``).
         """
-        if self._fused is None:
-            return False
-        if self.landmarks is not None or self.det_model is None:
-            return False
-        if self.crop_source != "original":
+        fused_detect = (
+            self._fused is not None
+            and self.landmarks is None
+            and self.det_model is not None
+            and self.crop_source == "original"
+        )
+        pure_no_crop = (
+            self.landmarks is None
+            and self.det_model is None
+            and (self.enh_model is not None or self.par_model is not None)
+        )
+        if not (fused_detect or pure_no_crop):
             return False
         mode = os.environ.get("FCPT_PACK_UPLOAD", "auto")
         if mode == "0":
@@ -654,6 +667,18 @@ class Cropper:
         from .utils.native_io import yuv_encoder_available
 
         return yuv_encoder_available()
+
+    def _jpeg_bound(self, file_names) -> bool:
+        """Whether every output of this batch will be a JPEG file.
+
+        True when ``output_format`` forces jpg/jpeg, or (with the format
+        inherited per source) every file name in the batch is a JPEG.
+        Gates the packed-output paths: 4:2:0 packing is the JPEG encoder's
+        own lossy front half, so it is only exact-enough for JPEG targets.
+        """
+        if self.output_format is not None:
+            return self.output_format.lower() in ("jpg", "jpeg")
+        return all(str(n).lower().endswith((".jpg", ".jpeg")) for n in file_names)
 
     def _crop_file_name(self, source_name: str, occurrence: int) -> str:
         """Output file name for the ``occurrence``-th face of a source image.
@@ -701,8 +726,25 @@ class Cropper:
             writes = [w for w in writes if w[0] != 0] + [
                 w for w in writes if w[0] == 0
             ]
+        from .utils.io import PackedYUVImage
+
         for occurrence, source, face in writes:
             out_name = self._crop_file_name(source, occurrence)
+            if isinstance(face, PackedYUVImage):
+                # Packed-4:2:0 source (or packed enhancer output) in the
+                # pure no-crop modes.  JPEG targets take the raw-data
+                # encoder — for pass-through sources that writes the
+                # *stored* samples back (no decode/re-encode generation
+                # loss); other targets reconstruct RGB on host.
+                from .utils.io import imwrite_yuv420
+
+                if out_name.lower().endswith((".jpg", ".jpeg")) and imwrite_yuv420(
+                    os.path.join(output_dir, out_name),
+                    face.packed,
+                    (face.w, face.h),
+                ):
+                    continue
+                face = face.to_rgb()
             face = np.asarray(face)
             if face.ndim == 1:
                 # Device-packed YCbCr 4:2:0 row (see _packed_fetch_eligible):
@@ -967,14 +1009,18 @@ class Cropper:
                     )
                 return
 
-        if want_packed:
+        pure_no_crop = self.landmarks is None and self.det_model is None
+        if want_packed and not pure_no_crop:
             # No fused group formed (odd shapes / tiny batch): the staged
-            # paths below need RGB arrays.
+            # detect/landmark paths below need RGB arrays.  The pure
+            # no-crop modes keep packed sources: the enhancer/parser
+            # reconstruct on device and saves go straight to the raw-data
+            # JPEG encoder.
             from .utils.io import unpack_images
 
             images = unpack_images(images)
 
-        if self.landmarks is None and self.det_model is None:
+        if pure_no_crop:
             indices, landmarks = list(range(len(file_names))), None
         elif self.landmarks is not None:
             indices, indices_ldm = [], []
@@ -997,8 +1043,20 @@ class Cropper:
             landmarks = reduce_landmarks(landmarks, self.num_std_landmarks)
 
         if self.enh_model is not None:
+            # In the pure no-crop mode with JPEG-bound saves, enhanced
+            # images come back as packed 4:2:0 rows (the JPEG encoder's
+            # lossy front half, computed on device — half the fetch bytes;
+            # save_group feeds them straight to the raw-data encoder).
+            pack_out = (
+                want_packed
+                and pure_no_crop
+                and isinstance(images, list)
+                and self._jpeg_bound(file_names)
+            )
             with self.stats.stage("enhance", len(images)):
-                images = self.enh_model.predict(images, landmarks, indices)
+                images = self.enh_model.predict(
+                    images, landmarks, indices, pack_out=pack_out
+                )
 
         groups = (None, None)
 
@@ -1011,6 +1069,7 @@ class Cropper:
                 return
 
         if self.par_model is not None:
+            parse_in, src_hw = images, None
             if isinstance(images, list):
                 if len({im.shape for im in images}) > 1:
                     # Same constraint as the reference (README.md:243): the
@@ -1020,9 +1079,21 @@ class Cropper:
                         "share dimensions; resize them or enable cropping "
                         "(set det_threshold or provide landmarks)."
                     )
-                images = np.stack(images)
-            with self.stats.stage("parse", len(images)):
-                groups = self.par_model.predict(images)
+                from .utils.io import PackedYUVImage, unpack_images
+
+                if all(isinstance(im, PackedYUVImage) for im in images):
+                    # Packed sources (or packed enhancer output) upload as
+                    # (N, L) rows; the parser reconstructs on device.
+                    parse_in = np.stack([im.packed for im in images])
+                    src_hw = images[0].shape[:2]
+                else:
+                    # A mix of packed and RGB entries of the same dims
+                    # (e.g. some sources were not plain 4:2:0): parse the
+                    # host reconstructions so one program serves the batch.
+                    images = np.stack(unpack_images(images))
+                    parse_in = images
+            with self.stats.stage("parse", len(parse_in)):
+                groups = self.par_model.predict(parse_in, src_hw=src_hw)
 
         file_names = np.asarray(file_names)
         if not isinstance(images, list):

@@ -410,39 +410,75 @@ class RRDBNet:
     def __eq__(self, other):
         return self is other
 
-    def _sr_uint8(self, forward, images: jnp.ndarray) -> jnp.ndarray:
+    def _sr_uint8(
+        self, forward, images: jnp.ndarray, src_hw=None, pack_out=False
+    ) -> jnp.ndarray:
         """uint8 (B, H, W, 3) → enhanced uint8 (B, H, W, 3), fully fused.
 
         SR at 4x then exact bicubic x0.25 back, clamp to [0,1], x255, round
         — reference rrdb.py:142-144.
+
+        ``src_hw`` marks ``images`` as packed YCbCr 4:2:0 rows (B, L) of
+        that (h, w): the RGB reconstruction runs here on device (packed
+        source uploads cross the link at 1.5 bytes/pixel).  ``pack_out``
+        returns the enhanced batch as packed 4:2:0 rows instead of RGB —
+        the JPEG encoder's lossy front half, for JPEG-bound saves.
         """
         from ..ops.warp import to_uint8
 
+        if src_hw is not None:
+            from ..ops.yuv import yuv420_to_rgb
+
+            images = yuv420_to_rgb(images, *src_hw)
         x = (images.astype(jnp.float32) / 255.0).astype(self.compute_dtype)
         hr = forward(x).astype(jnp.float32)
         lr = downscale4x_bicubic(hr)
-        return to_uint8(jnp.clip(lr, 0.0, 1.0) * 255.0)
+        out = to_uint8(jnp.clip(lr, 0.0, 1.0) * 255.0)
+        if pack_out:
+            from ..ops.yuv import rgb_to_yuv420
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _enhance(self, params: dict, images: jnp.ndarray) -> jnp.ndarray:
+            out = rgb_to_yuv420(out)
+        return out
+
+    @partial(jax.jit, static_argnames=("self", "src_hw", "pack_out"))
+    def _enhance(
+        self, params: dict, images: jnp.ndarray, src_hw=None, pack_out=False
+    ) -> jnp.ndarray:
         p = Params(params)
-        return self._sr_uint8(lambda x: rrdbnet_forward(p, x, self.num_blocks), images)
+        return self._sr_uint8(
+            lambda x: rrdbnet_forward(p, x, self.num_blocks),
+            images,
+            src_hw,
+            pack_out,
+        )
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _enhance_s2d(self, params: dict, params_s2d: dict, images: jnp.ndarray) -> jnp.ndarray:
+    @partial(jax.jit, static_argnames=("self", "src_hw", "pack_out"))
+    def _enhance_s2d(
+        self,
+        params: dict,
+        params_s2d: dict,
+        images: jnp.ndarray,
+        src_hw=None,
+        pack_out=False,
+    ) -> jnp.ndarray:
         """Same contract as :meth:`_enhance`, trunk in space-to-depth form."""
         p, ps = Params(params), Params(params_s2d)
         return self._sr_uint8(
-            lambda x: rrdbnet_forward_s2d(p, ps, x, self.num_blocks), images
+            lambda x: rrdbnet_forward_s2d(p, ps, x, self.num_blocks),
+            images,
+            src_hw,
+            pack_out,
         )
 
-    @partial(jax.jit, static_argnames=("self", "strip_rows"))
+    @partial(jax.jit, static_argnames=("self", "strip_rows", "src_hw", "pack_out"))
     def _enhance_ws2d(
         self,
         params: dict,
         params_ws2d: dict,
         images: jnp.ndarray,
         strip_rows: int | None = None,
+        src_hw=None,
+        pack_out=False,
     ) -> jnp.ndarray:
         """Same contract as :meth:`_enhance`, trunk in W-s2d grouped form.
 
@@ -452,6 +488,8 @@ class RRDBNet:
         return self._sr_uint8(
             lambda x: rrdbnet_forward_ws2d(p, ps, x, self.num_blocks, strip_rows),
             images,
+            src_hw,
+            pack_out,
         )
 
     def _ws2d_params(self) -> dict:
@@ -505,15 +543,22 @@ class RRDBNet:
         return self._params_s2d
 
     def _run_sr(
-        self, imgs: jnp.ndarray, mode: str, strip_rows: int | None = None
+        self,
+        imgs: jnp.ndarray,
+        mode: str,
+        strip_rows: int | None = None,
+        src_hw=None,
+        pack_out=False,
     ) -> jnp.ndarray:
         if mode == "ws2d":
             return self._enhance_ws2d(
-                self.params, self._ws2d_params(), imgs, strip_rows
+                self.params, self._ws2d_params(), imgs, strip_rows, src_hw, pack_out
             )
         if mode == "s2d":
-            return self._enhance_s2d(self.params, self._s2d_params(), imgs)
-        return self._enhance(self.params, imgs)
+            return self._enhance_s2d(
+                self.params, self._s2d_params(), imgs, src_hw, pack_out
+            )
+        return self._enhance(self.params, imgs, src_hw, pack_out)
 
     #: Pixel budget for an *unstripped* ws2d dense block.  Its source-grouped
     #: wide conv outputs (384/320/256/192/128 channels, f32 until the stage
@@ -570,10 +615,28 @@ class RRDBNet:
             )
         return "plain", None
 
-    def enhance_images(self, images: np.ndarray) -> np.ndarray:
-        """Enhances a uniform uint8 batch in fixed-size sub-batches."""
-        mode, strip_rows = self._mode_for_shape(images.shape[1], images.shape[2])
-        out = np.empty_like(images)  # every row is written below
+    def enhance_images(
+        self, images: np.ndarray, src_hw=None, pack_out: bool = False
+    ) -> np.ndarray:
+        """Enhances a uniform uint8 batch in fixed-size sub-batches.
+
+        ``src_hw`` marks ``images`` as packed YCbCr 4:2:0 rows (N, L) of
+        that (h, w), reconstructed on device (packed source uploads);
+        ``pack_out`` returns packed 4:2:0 rows (N, L) instead of RGB for
+        JPEG-bound saves (h and w must be even; callers gate on this).
+        """
+        if src_hw is not None:
+            src_hw = (int(src_hw[0]), int(src_hw[1]))
+            h, w = src_hw
+        else:
+            h, w = int(images.shape[1]), int(images.shape[2])
+        mode, strip_rows = self._mode_for_shape(h, w)
+        if pack_out:
+            from ..ops.yuv import packed_length
+
+            out = np.empty((len(images), packed_length((w, h))), np.uint8)
+        else:
+            out = np.empty((len(images), h, w, 3), np.uint8)
         bs = self.enh_batch_size
         for start in range(0, len(images), bs):
             chunk = images[start : start + bs]
@@ -590,7 +653,7 @@ class RRDBNet:
                 imgs = jnp.asarray(chunk)
                 if self.device is not None:
                     imgs = jax.device_put(imgs, self.device)
-            res = self._run_sr(imgs, mode, strip_rows)
+            res = self._run_sr(imgs, mode, strip_rows, src_hw, pack_out)
             out[start : start + valid] = np.asarray(res)[:valid]
         return out
 
@@ -621,15 +684,22 @@ class RRDBNet:
         images: np.ndarray | list[np.ndarray],
         landmarks: np.ndarray | None,
         indices: list[int] | None,
+        pack_out: bool = False,
     ) -> np.ndarray | list[np.ndarray]:
         """Enhances images whose mean face factor is <= the threshold.
 
         Same gate semantics as reference rrdb.py:83-146: no landmarks/indices
         → enhance everything; images without any face → left untouched.
         Accepts a uniform (N, H, W, 3) batch or a ragged list (grouped by
-        shape into buckets for the device).
+        shape into buckets for the device).  List entries may be
+        :class:`~face_crop_plus_tpu.utils.io.PackedYUVImage` (packed source
+        uploads — reconstructed on device, no host RGB materialization);
+        with ``pack_out`` (list input only) enhanced even-dimension images
+        come back as ``PackedYUVImage`` for JPEG-bound saves.
         """
         is_list = isinstance(images, list)
+        if pack_out and not is_list:
+            raise ValueError("pack_out requires list input")
         n = len(images)
         if n == 0:  # the reference's loop body never runs for empty input
             return images
@@ -654,13 +724,28 @@ class RRDBNet:
             out[gated] = sub
             return out
 
-        # Ragged list: bucket gated images by shape.
+        # Ragged list: bucket gated images by shape (packed 4:2:0 sources
+        # group separately from RGB arrays of the same dimensions).
+        from ..utils.io import PackedYUVImage
+
         out = list(images)
         by_shape = defaultdict(list)
         for i in gated:
-            by_shape[images[i].shape].append(i)
+            by_shape[getattr(images[i], "group_key", images[i].shape)].append(i)
         for ids in by_shape.values():
-            sub = self.enhance_images(np.stack([images[i] for i in ids]))
+            first = images[ids[0]]
+            h, w = first.shape[:2]
+            pack = pack_out and h % 2 == 0 and w % 2 == 0
+            if isinstance(first, PackedYUVImage):
+                sub = self.enhance_images(
+                    np.stack([images[i].packed for i in ids]),
+                    src_hw=(h, w),
+                    pack_out=pack,
+                )
+            else:
+                sub = self.enhance_images(
+                    np.stack([images[i] for i in ids]), pack_out=pack
+                )
             for j, i in enumerate(ids):
-                out[i] = sub[j]
+                out[i] = PackedYUVImage(sub[j], h, w) if pack else sub[j]
         return out

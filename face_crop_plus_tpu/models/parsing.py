@@ -214,7 +214,9 @@ class BiSeNet:
     def __eq__(self, other):
         return self is other
 
-    @partial(jax.jit, static_argnames=("self", "out_h", "out_w", "mean", "std"))
+    @partial(
+        jax.jit, static_argnames=("self", "out_h", "out_w", "mean", "std", "src_hw")
+    )
     def _parse(
         self,
         params: dict,
@@ -223,6 +225,7 @@ class BiSeNet:
         out_w: int,
         mean: tuple,
         std: tuple,
+        src_hw: tuple | None = None,
     ):
         """uint8 (B, H, W, 3) crops → (labels (B,out_h,out_w) u8, counts (B,19)).
 
@@ -230,8 +233,16 @@ class BiSeNet:
         so they are explicit static arguments: jit's fastpath keys static
         objects by identity, and reading them off ``self`` at trace time
         would silently keep using the values from the first compile.
+
+        With ``src_hw`` set, ``images`` is packed planar YCbCr 4:2:0 rows
+        (B, L) from a packed source upload (1.5 bytes/pixel on the wire);
+        the RGB reconstruction runs here, on device, as the first step.
         """
         p = Params(params)
+        if src_hw is not None:
+            from ..ops.yuv import yuv420_to_rgb
+
+            images = yuv420_to_rgb(images, *src_hw)
         x = images.astype(jnp.float32) / 255.0
         x = resize_bilinear(x, (_INFER_SIZE, _INFER_SIZE))
         mean = jnp.array(mean, jnp.float32)
@@ -248,7 +259,9 @@ class BiSeNet:
 
     @partial(
         jax.jit,
-        static_argnames=("self", "out_h", "out_w", "mean", "std", "mask_attrs"),
+        static_argnames=(
+            "self", "out_h", "out_w", "mean", "std", "mask_attrs", "src_hw"
+        ),
     )
     def _parse_packed(
         self,
@@ -259,6 +272,7 @@ class BiSeNet:
         mean: tuple,
         std: tuple,
         mask_attrs: tuple,
+        src_hw: tuple | None = None,
     ):
         """Like :meth:`_parse`, but emits *bit-packed* per-group masks.
 
@@ -276,7 +290,9 @@ class BiSeNet:
             uint8 packed masks (G, B, out_h, ceil(out_w/8)) and int32
             counts (B, 19).
         """
-        labels, counts = self._parse(params, images, out_h, out_w, mean, std)
+        labels, counts = self._parse(
+            params, images, out_h, out_w, mean, std, src_hw
+        )
         w8 = -(-out_w // 8)
         pad = w8 * 8 - out_w
         packed = []
@@ -323,12 +339,15 @@ class BiSeNet:
                         imgs = jax.device_put(imgs, self.device)
             yield imgs, start, valid
 
-    def parse_batch(self, images) -> tuple[np.ndarray, np.ndarray]:
+    def parse_batch(self, images, src_hw=None) -> tuple[np.ndarray, np.ndarray]:
         """Runs parsing for all faces in fixed-size sub-batches.
 
+        ``src_hw`` marks ``images`` as packed YCbCr 4:2:0 rows (N, L) of
+        that (h, w) — reconstructed on device inside the jitted program.
         Returns host arrays: uint8 labels (N, H, W) and int32 counts (N, 19).
         """
-        n, h, w = images.shape[0], images.shape[1], images.shape[2]
+        n = images.shape[0]
+        h, w = src_hw if src_hw is not None else images.shape[1:3]
         labels_out = np.empty((n, h, w), np.uint8)
         counts_out = np.empty((n, NUM_CLASSES), np.int32)
         for imgs, start, valid in self._sub_batches(images):
@@ -339,18 +358,20 @@ class BiSeNet:
                 w,
                 tuple(float(v) for v in self.mean),
                 tuple(float(v) for v in self.std),
+                src_hw,
             )
             labels_out[start : start + valid] = np.asarray(labels)[:valid]
             counts_out[start : start + valid] = np.asarray(counts)[:valid]
         return labels_out, counts_out
 
-    def parse_counts(self, images) -> np.ndarray:
+    def parse_counts(self, images, src_hw=None) -> np.ndarray:
         """Per-face class pixel counts only — nothing else leaves the device.
 
         The attribute-grouping path needs just the (N, 19) histogram; the
         label raster (1 byte/pixel) stays device-side.
         """
-        n, h, w = images.shape[0], images.shape[1], images.shape[2]
+        n = images.shape[0]
+        h, w = src_hw if src_hw is not None else images.shape[1:3]
         counts_out = np.empty((n, NUM_CLASSES), np.int32)
         for imgs, start, valid in self._sub_batches(images):
             _labels, counts = self._parse(
@@ -360,12 +381,13 @@ class BiSeNet:
                 w,
                 tuple(float(v) for v in self.mean),
                 tuple(float(v) for v in self.std),
+                src_hw,
             )
             counts_out[start : start + valid] = np.asarray(counts)[:valid]
         return counts_out
 
     def parse_batch_packed(
-        self, images, mask_attrs: tuple
+        self, images, mask_attrs: tuple, src_hw=None
     ) -> tuple[np.ndarray, np.ndarray]:
         """Like :meth:`parse_batch`, fetching bit-packed per-group masks
         instead of the label raster (8x less device→host traffic).
@@ -373,7 +395,8 @@ class BiSeNet:
         Returns host arrays: uint8 packed masks (G, N, H, ceil(W/8)) and
         int32 counts (N, 19).
         """
-        n, h, w = images.shape[0], images.shape[1], images.shape[2]
+        n = images.shape[0]
+        h, w = src_hw if src_hw is not None else images.shape[1:3]
         w8 = -(-w // 8)
         packed_out = np.empty((len(mask_attrs), n, h, w8), np.uint8)
         counts_out = np.empty((n, NUM_CLASSES), np.int32)
@@ -386,6 +409,7 @@ class BiSeNet:
                 tuple(float(v) for v in self.mean),
                 tuple(float(v) for v in self.std),
                 mask_attrs,
+                src_hw,
             )
             packed_out[:, start : start + valid] = np.asarray(packed)[:, :valid]
             counts_out[start : start + valid] = np.asarray(counts)[:valid]
@@ -454,7 +478,7 @@ class BiSeNet:
             groups[name] = (inds, masks)
         return groups
 
-    def predict(self, images, valid_n: int | None = None):
+    def predict(self, images, valid_n: int | None = None, src_hw=None):
         """Predicts attribute and mask groups for a uint8 face batch.
 
         Returns the reference's contract (bise.py:327-418): a tuple of
@@ -468,11 +492,17 @@ class BiSeNet:
             valid_n: When the batch carries padding rows at the end (device
                 handoff from the fused pipeline), only faces with index
                 < ``valid_n`` are considered for groups.
+            src_hw: When set, ``images`` is packed YCbCr 4:2:0 rows (N, L)
+                of this (h, w) — uploaded at 1.5 bytes/pixel and
+                reconstructed on device (packed source uploads in the pure
+                parse mode).
         """
         if isinstance(images, list):
             images = np.stack(images)
         if not isinstance(images, jnp.ndarray):
             images = np.asarray(images, np.uint8)
+        if src_hw is not None:
+            src_hw = (int(src_hw[0]), int(src_hw[1]))
 
         # Only counts (tiny) and — when mask groups are configured —
         # bit-packed masks leave the device; the full label raster is never
@@ -481,9 +511,9 @@ class BiSeNet:
             mask_attrs = tuple(
                 tuple(int(a) for a in attrs) for attrs in self.mask_groups.values()
             )
-            packed, counts = self.parse_batch_packed(images, mask_attrs)
+            packed, counts = self.parse_batch_packed(images, mask_attrs, src_hw)
         else:
-            packed, counts = None, self.parse_counts(images)
+            packed, counts = None, self.parse_counts(images, src_hw)
 
         attr_groups = None
         if self.attr_groups is not None:
@@ -496,9 +526,8 @@ class BiSeNet:
 
         mask_groups = None
         if self.mask_groups is not None:
-            mask_groups = self.group_by_masks_packed(
-                packed, counts, int(images.shape[2])
-            )
+            width = src_hw[1] if src_hw is not None else int(images.shape[2])
+            mask_groups = self.group_by_masks_packed(packed, counts, width)
             if valid_n is not None:
                 filtered = {}
                 for k, (inds, masks) in mask_groups.items():
