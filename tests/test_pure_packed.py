@@ -249,6 +249,56 @@ def test_pure_parse_e2e_packed_vs_rgb(tmp_path, monkeypatch):
 
 
 @needs_encoder
+def test_pure_parse_packed_on_mesh(tmp_path, monkeypatch):
+    """Packed pure-parse runs shard the (N, L) rows over the data axis."""
+    import jax
+
+    from face_crop_plus_tpu import Cropper
+    from face_crop_plus_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+
+    rng = np.random.default_rng(18)
+    src = _jpeg_dir(tmp_path, rng, n=8, h=48, w=48)
+    monkeypatch.setenv("FCPT_PACK_UPLOAD", "1")
+    kwargs = dict(
+        det_threshold=None,
+        enh_threshold=None,
+        attr_groups={"g": [1]},
+        mask_groups={"m": [1, 2]},
+        batch_size=8,
+    )
+
+    def run(name, **extra):
+        out = str(tmp_path / name)
+        with pytest.warns(UserWarning, match="random"):
+            c = Cropper(**kwargs, **extra)
+        c.par_model.attr_threshold = -1
+        c.par_model.mask_threshold = -1
+        assert c._packed_upload_eligible()
+        c.process_dir(src, out, desc=None)
+        return out
+
+    out1 = run("single", device=jax.devices()[0])
+    out2 = run("mesh", mesh=mesh)
+
+    def tree(root):
+        return sorted(
+            os.path.relpath(os.path.join(r, f), root)
+            for r, _d, fs in os.walk(root)
+            for f in fs
+        )
+
+    assert tree(out1) == tree(out2)
+    for rel in tree(out1):
+        a = imread_rgb(os.path.join(out1, rel)).astype(int)
+        b = imread_rgb(os.path.join(out2, rel)).astype(int)
+        assert np.abs(a - b).max() <= 1, rel  # same math modulo partitioning
+
+
+@needs_encoder
 def test_pure_enhance_e2e_packed_vs_rgb(tmp_path, monkeypatch):
     from face_crop_plus_tpu import Cropper
 
