@@ -617,6 +617,179 @@ def test_parse_landmarks_file_crossval(tmp_path, fmt):
     assert our_lm.shape == (7, 5, 2) and our_lm.dtype == np.float32
 
 
+def _fake_ref_load(self, device="cpu"):
+    """Offline stand-in for the reference's LoadMixin.load (_layers.py:16).
+
+    Skips the torch.hub download and instead overwrites every parameter
+    (and BN running stats) from a fixed-seed generator — deterministic
+    across the reference's per-worker ``_init_models`` re-runs, so both
+    Cropper instances and our converted copy share identical weights.
+    """
+    gen = torch.Generator().manual_seed(1234)
+    with torch.no_grad():
+        for p in self.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+        for m in self.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                n = m.num_features
+                m.running_mean.copy_(torch.randn(n, generator=gen) * 0.3)
+                m.running_var.copy_(torch.rand(n, generator=gen) + 0.5)
+    self.to(torch.device(device) if isinstance(device, str) else device)
+    self.eval()
+    for p in self.parameters():
+        p.requires_grad = False
+    return self
+
+
+def test_pure_parse_e2e_vs_reference(tmp_path, rng, monkeypatch):
+    """Pure parse mode (det_threshold=None): full output-tree parity.
+
+    The module-level grouping crossval above compares *membership*; this
+    runs both Croppers end to end over a directory and compares the on-disk
+    attr × mask tree the reference's ``save_groups`` builds
+    (cropper.py:611-746: one directory per attribute, ``<mask>``/
+    ``<mask>_mask`` subtrees, cell membership = intersection, empty groups
+    dropped) — exercising reference ``process_batch``'s no-landmark branch
+    (cropper.py:793-795) with the real executing ``BiSeNet`` under shared
+    converted weights."""
+    from face_crop_plus import Cropper as RefCropper
+    from face_crop_plus.models import _layers as ref_layers
+
+    from face_crop_plus_tpu import Cropper as OurCropper
+    from face_crop_plus_tpu.models.weights import save_npz
+
+    monkeypatch.setattr(ref_layers.LoadMixin, "load", _fake_ref_load)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    local = np.random.default_rng(21)
+    imgs = local.integers(0, 255, (4, 64, 64, 3), dtype=np.uint8)
+    for i in range(4):
+        cv2.imwrite(str(in_dir / f"img{i}.png"), imgs[i, ..., ::-1])
+
+    # Random weights concentrate the argmax on arbitrary classes, so fixed
+    # group definitions can come out empty (nothing written, nothing
+    # compared).  Probe per-class membership with the reference module
+    # first and build groups around the dominant class — guaranteed
+    # non-empty for any weight draw, same tree logic exercised.  Class 0 is
+    # excluded: in the reference's attr semantics a non-positive index
+    # means "must NOT contain" (bise.py:214-267), so 0 cannot be queried
+    # positively.
+    from face_crop_plus.models.bise import BiSeNet as RefBiSeNet
+
+    probe = _fake_ref_load(
+        RefBiSeNet(attr_groups={str(k): [k] for k in range(1, 19)})
+    )
+    with torch.no_grad():
+        probe_attr, _ = probe.predict(_nchw(imgs).float())
+    dom = max(probe_attr, key=lambda k: len(probe_attr[k]))
+    assert len(probe_attr[dom]) > 0
+    dom = int(dom)
+
+    common = dict(
+        det_threshold=None,
+        enh_threshold=None,
+        attr_groups={"a": [dom], "never": [dom, -dom]},
+        mask_groups={"m": [dom]},
+        batch_size=4,
+        num_processes=1,
+    )
+
+    ref_c = RefCropper(device="cpu", **common)
+    ref_out = str(tmp_path / "ref_out")
+    ref_c.process_dir(str(in_dir), ref_out, desc=None)
+
+    # Share the reference's exact weights via the converter + npz cache.
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    save_npz(
+        convert_state_dict(ref_c.par_model.state_dict()),
+        str(wdir / "bisenet.npz"),
+    )
+    our_c = OurCropper(device="cpu", weights_dir=str(wdir), **common)
+    assert our_c.par_model.pretrained  # converted weights, not random init
+    our_out = str(tmp_path / "our_out")
+    our_c.process_dir(str(in_dir), our_out, desc=None)
+
+    def tree(root):
+        return sorted(
+            os.path.relpath(os.path.join(r, f), root)
+            for r, _d, fs in os.walk(root)
+            for f in fs
+        )
+
+    ref_tree = tree(ref_out)
+    assert tree(our_out) == ref_tree
+    assert len(ref_tree) > 0
+    # 'never' ([dom, -dom]: count>5 AND count<=5) is empty by construction
+    # and must be dropped from the tree by both sides.
+    assert not any(rel.split(os.sep)[0] == "never" for rel in ref_tree)
+
+    for rel in ref_tree:
+        a = cv2.imread(os.path.join(ref_out, rel))
+        b = cv2.imread(os.path.join(our_out, rel))
+        assert a is not None and b is not None and a.shape == b.shape
+        if rel.split(os.sep)[-2].endswith("_mask"):
+            # 0/255 rasters; isolated argmax-tie pixels may differ.
+            agree = (a == b).mean()
+            assert agree > 0.995, f"{rel}: mask agreement {agree:.4f}"
+        else:
+            # Pass-through source pixels, lossless PNG: exact.
+            np.testing.assert_array_equal(a, b, err_msg=rel)
+
+
+def test_pure_enhance_e2e_vs_reference(tmp_path, monkeypatch):
+    """Pure enhance mode (no landmarks ⇒ every image enhanced,
+    rrdb.py:125-127) end to end with the executing reference under shared
+    converted weights; outputs agree within the bicubic-undo kernel band."""
+    from face_crop_plus import Cropper as RefCropper
+    from face_crop_plus.models import _layers as ref_layers
+
+    from face_crop_plus_tpu import Cropper as OurCropper
+    from face_crop_plus_tpu.models.weights import save_npz
+
+    monkeypatch.setattr(ref_layers.LoadMixin, "load", _fake_ref_load)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    local = np.random.default_rng(22)
+    for i in range(2):
+        img = local.integers(0, 255, (32, 40, 3), dtype=np.uint8)
+        cv2.imwrite(str(in_dir / f"img{i}.png"), img[..., ::-1])
+
+    common = dict(
+        det_threshold=None,
+        enh_threshold=0.05,
+        batch_size=2,
+        num_processes=1,
+    )
+
+    ref_c = RefCropper(device="cpu", **common)
+    ref_out = str(tmp_path / "ref_out")
+    ref_c.process_dir(str(in_dir), ref_out, desc=None)
+
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    save_npz(
+        convert_state_dict(ref_c.enh_model.state_dict()),
+        str(wdir / "rrdb.npz"),
+    )
+    our_c = OurCropper(device="cpu", weights_dir=str(wdir), **common)
+    assert our_c.enh_model.pretrained
+    our_c.enh_model.trunk_mode = "plain"  # match the reference trunk exactly
+    our_out = str(tmp_path / "our_out")
+    our_c.process_dir(str(in_dir), our_out, desc=None)
+
+    assert sorted(os.listdir(our_out)) == sorted(os.listdir(ref_out))
+    for fname in sorted(os.listdir(ref_out)):
+        a = cv2.imread(os.path.join(ref_out, fname)).astype(np.int32)
+        b = cv2.imread(os.path.join(our_out, fname)).astype(np.int32)
+        assert a.shape == b.shape
+        src = cv2.imread(os.path.join(in_dir, fname)).astype(np.int32)
+        assert (a != src).any() and (b != src).any()  # both actually enhanced
+        assert np.abs(a - b).mean() < 2.0, fname
+
+
 def test_clean_names_crossval(tmp_path):
     """Copy-mode renaming parity with reference utils.py:344-453 on inputs
     where the reference is well-behaved (its in-place collision overwrite
