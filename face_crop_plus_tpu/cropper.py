@@ -225,9 +225,11 @@ class Cropper:
 
         One upload per batch; detect (and, when configured, the gate→SR→crop
         chain for enhanced images) runs on device-resident pixels; only
-        crops and small landmark/valid arrays come down.  With enhancement
-        active on a mesh, the staged path is used instead (gating requires
-        cross-shard gathers).
+        crops and small landmark/valid arrays come down.  On a mesh the
+        compaction/gating gathers run shard-locally (faces index intra-shard
+        images) — see ``FusedPipeline._crop_rows_mesh`` /
+        ``_finish_gated_mesh`` — so every configuration keeps the fused hot
+        path.
         """
         self._fused = None
         #: Source shapes granted a fused program (bounded: each distinct
@@ -236,8 +238,6 @@ class Cropper:
         #: uses the classic staged path with host resizing).
         self._fused_shapes: set = set()
         self._fused_shapes_lock = threading.Lock()
-        if self.enh_model is not None and self.mesh is not None:
-            return
         if self.det_model is not None:
             from .pipeline import FusedPipeline
 

@@ -484,6 +484,129 @@ class FusedPipeline:
     #: bucket from a crowd batch can exceed HBM outright).
     max_warp_chunk: int = 512
 
+    # ------------------------------------------------------------------
+    # Shard-local executors (mesh runs)
+    #
+    # Faces always index intra-shard images (the face grid of image i
+    # lives on i's shard), so compaction, gated-SR gathers and warps run
+    # *within* each shard via shard_map — no cross-shard gathers, no
+    # collectives; one static shape per dispatch like everything else.
+    # ------------------------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self", "window"))
+    def _crop_local_sharded(self, images, lm, local_idx, window=None):
+        """Shard-local estimate→warp over a data-sharded image batch.
+
+        Args:
+            images: uint8 (N, H, W, 3) batch sharded over ``("data",)``.
+            lm: (S·C, 5, 2) float32 landmarks, row ``s·C + p`` holding the
+                landmarks of the face shard ``s`` warps at slot ``p``
+                (padding slots carry the target template → identity fit).
+            local_idx: (S·C,) int32 source-image index *within each
+                shard's local block* of ``images``.
+            window: Optional static (top, left, height, width) un-padded
+                region every face samples from.
+
+        Returns:
+            uint8 crops (S·C, Ho, Wo, 3) and bool ok (S·C,), data-sharded.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        estimate = estimate_affine if self.allow_skew else estimate_similarity
+        target = jnp.asarray(self.target)
+
+        def body(imgs_l, lm_l, idx_l):
+            mats, ok = estimate(lm_l, target)
+            win = (
+                None
+                if window is None
+                else jnp.tile(
+                    jnp.asarray(window, jnp.int32)[None, :], (lm_l.shape[0], 1)
+                )
+            )
+            crops = warp_affine_batch(
+                imgs_l, mats, idx_l, self.output_size, self.border_mode, win
+            )
+            return to_uint8(crops), ok
+
+        return jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P("data")),
+        )(images, jnp.asarray(lm, jnp.float32), jnp.asarray(local_idx, jnp.int32))
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _gather_rows_sharded(self, images, local_idx):
+        """Shard-local row gather: each shard compacts its own rows.
+
+        ``local_idx`` (S·C,) selects rows within each shard's local block;
+        the result is a (S·C, ...) data-sharded array (the mesh analog of
+        ``jnp.take`` along a sharded batch axis, without the collective a
+        global gather would force).
+        """
+        from jax.sharding import PartitionSpec as P
+
+        def body(imgs_l, idx_l):
+            return jnp.take(imgs_l, idx_l, axis=0)
+
+        return jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=P("data"),
+        )(images, jnp.asarray(local_idx, jnp.int32))
+
+    def _crop_rows_mesh(
+        self,
+        src_imgs,
+        lm_faces: np.ndarray,
+        img_shard: np.ndarray,
+        img_local: np.ndarray,
+        window: tuple | None = None,
+        pack: bool = False,
+    ):
+        """Warps faces out of a data-sharded batch, shard-locally.
+
+        Mesh analog of :meth:`_crop_selected_chunked`: faces are grouped by
+        their image's shard, padded to a uniform per-shard capacity
+        (chunked by ``max_warp_chunk / S``) and warped by
+        :meth:`_crop_local_sharded`; results are reassembled in face order.
+
+        Args:
+            src_imgs: uint8 (N, H, W, 3) device batch, data-sharded.
+            lm_faces: (F, 5, 2) host float32 landmarks in ``src_imgs``
+                coordinates (callers apply any interim scale).
+            img_shard / img_local: (F,) owning shard and local image row of
+                each face.
+            window: Optional static (top, left, height, width) sampling
+                window (interim cropping).
+            pack: Fetch crops as packed 4:2:0 rows.
+
+        Returns:
+            Host crops (F, ...) in face order and a bool ok mask (F,).
+        """
+        from .parallel.mesh import partition_by_shard
+
+        f = len(lm_faces)
+        crops_out = np.empty(
+            (f,) + self._empty_crops(pack).shape[1:], np.uint8
+        )
+        ok_out = np.zeros(f, bool)
+        s = self.mesh.size
+        cf = max(1, self.max_warp_chunk // s)
+        for sel, req, rows in partition_by_shard(img_shard, img_local, s, cf):
+            lm_rows = np.tile(
+                np.asarray(self.target, np.float32)[None], (len(sel), 1, 1)
+            )
+            lm_rows[rows] = lm_faces[req]
+            crops, ok = self._crop_local_sharded(src_imgs, lm_rows, sel, window)
+            if pack:
+                crops = self._pack_yuv(crops)
+            crops_out[req] = np.asarray(crops)[rows]
+            ok_out[req] = np.asarray(ok)[rows]
+        return crops_out, ok_out
+
     @partial(jax.jit, static_argnames=("self",))
     def _pack_yuv(self, crops_u8):
         """Device-side YCbCr 4:2:0 packing of finished uint8 crops.
@@ -616,7 +739,23 @@ class FusedPipeline:
 
         plain_pos = np.nonzero(~is_gated)[0]
         if len(plain_pos):
-            if self.crop_source == "interim":
+            if self.mesh is not None:
+                # Shard-local compaction+warp: faces index intra-shard
+                # images, so no cross-shard gathers are needed.
+                n_loc = imgs.shape[0] // self.mesh.size
+                img_g = indices[plain_pos]
+                if self.crop_source == "interim":
+                    crops_p, ok_p = self._crop_rows_mesh(
+                        dev_interim, face_lm[plain_pos] * np.float32(scale),
+                        img_g // n_loc, img_g % n_loc,
+                        tuple(int(v) for v in window), pack=pack,
+                    )
+                else:
+                    crops_p, ok_p = self._crop_rows_mesh(
+                        imgs, face_lm[plain_pos],
+                        img_g // n_loc, img_g % n_loc, pack=pack,
+                    )
+            elif self.crop_source == "interim":
                 # Reference parity: non-gated crops also sample the interim.
                 crops_p, ok_p, handle = self._crop_selected_chunked(
                     dev_interim, dev_face_lm, keep[plain_pos],
@@ -628,11 +767,17 @@ class FusedPipeline:
                 )
             crops_all[plain_pos] = crops_p
             ok_all[plain_pos] = ok_p
-            if len(plain_pos) == len(keep):
+            if self.mesh is None and len(plain_pos) == len(keep):
                 dev_handle = handle
 
         gated_pos = np.nonzero(is_gated)[0]
-        if len(gated_pos):
+        if len(gated_pos) and self.mesh is not None:
+            self._finish_gated_mesh(
+                dev_interim, face_lm, indices, gated, gated_pos,
+                float(scale), tuple(int(v) for v in window),
+                pack, crops_all, ok_all,
+            )
+        elif len(gated_pos):
             # SR the gated interim rows on device (sub-batched inside).
             dev_gated = jnp.take(dev_interim, jnp.asarray(gated), axis=0)
             enhanced = self.enh.enhance_device(dev_gated)
@@ -690,6 +835,81 @@ class FusedPipeline:
         if dev_handle is not None and not ok_all.all():
             dev_handle = None
         return crops, face_lm, indices, dev_handle
+
+    def _finish_gated_mesh(
+        self,
+        dev_interim,
+        face_lm: np.ndarray,
+        indices: np.ndarray,
+        gated: np.ndarray,
+        gated_pos: np.ndarray,
+        scale: float,
+        window: tuple,
+        pack: bool,
+        crops_all: np.ndarray,
+        ok_all: np.ndarray,
+    ) -> None:
+        """Gate → SR → crop for gated images on a device mesh, shard-locally.
+
+        Gating is per-image and images shard contiguously, so each shard
+        compacts its *own* gated interim rows (:meth:`_gather_rows_sharded`),
+        super-resolves them in place (the SR program partitions over the
+        data axis like any batch) and warps its own faces from its local
+        enhanced block (:meth:`_crop_local_sharded`) — no cross-shard
+        gathers, no collectives.  Per-shard SR sub-batches are bounded by
+        ``enh_batch_size / S`` (the mesh analog of the reference's
+        one-image-at-a-time loop, rrdb.py:100-103) and warps by
+        ``max_warp_chunk / S``.  Results land in ``crops_all``/``ok_all``
+        at ``gated_pos``; semantics identical to the single-device gated
+        path (reference rrdb.py:83-146 + cropper.py:833-843).
+        """
+        from .parallel.mesh import partition_by_shard, partition_rows_by_shard
+
+        s = self.mesh.size
+        n_pad = dev_interim.shape[0]
+        cg = max(1, self.enh.enh_batch_size // s)
+        chunks = partition_rows_by_shard(gated, n_pad, s, cg)
+
+        # Image → (chunk, shard, local slot) inside that chunk's SR output.
+        img_loc: dict[int, tuple[int, int, int]] = {}
+        for ci, (sel, req, rows) in enumerate(chunks):
+            c = len(sel) // s
+            for j, r in zip(req, rows):
+                img_loc[int(gated[j])] = (ci, int(r // c), int(r % c))
+
+        ih, iw = dev_interim.shape[1:3]
+        mode, strip_rows = self.enh._mode_for_shape(ih, iw)
+        cf = max(1, self.max_warp_chunk // s)
+        for ci, (sel, _req, _rows) in enumerate(chunks):
+            dev_gated = self._gather_rows_sharded(dev_interim, sel)
+            enhanced = self.enh._run_sr(dev_gated, mode, strip_rows)
+
+            pos_c = np.asarray(
+                [p for p in gated_pos if img_loc[int(indices[p])][0] == ci],
+                np.int64,
+            )
+            if not len(pos_c):
+                continue
+            f_shard = np.asarray(
+                [img_loc[int(indices[p])][1] for p in pos_c], np.int64
+            )
+            f_local = np.asarray(
+                [img_loc[int(indices[p])][2] for p in pos_c], np.int64
+            )
+            lm_interim = (face_lm[pos_c] * np.float32(scale)).astype(np.float32)
+            for fsel, freq, frows in partition_by_shard(f_shard, f_local, s, cf):
+                lm_rows = np.tile(
+                    np.asarray(self.target, np.float32)[None], (len(fsel), 1, 1)
+                )
+                lm_rows[frows] = lm_interim[freq]
+                crops_g, ok_g = self._crop_local_sharded(
+                    enhanced, lm_rows, fsel, window
+                )
+                if pack:
+                    crops_g = self._pack_yuv(crops_g)
+                out_pos = pos_c[freq]
+                crops_all[out_pos] = np.asarray(crops_g)[frows]
+                ok_all[out_pos] = np.asarray(ok_g)[frows]
 
     def process(
         self,
@@ -758,11 +978,12 @@ class FusedPipeline:
             if self.device is not None:
                 imgs = jax.device_put(imgs, self.device)
 
-        # Two-program compaction needs arbitrary cross-image gathers, which
-        # would force collectives on a sharded batch — mesh runs stay on the
-        # single-program path.
-        enhanced = self.enh is not None and self.mesh is None
-        two_program = self.det.strategy == "all" and self.mesh is None
+        # On a mesh, compaction/gating gathers run *shard-locally* (faces
+        # index intra-shard images), so the two-program "all" path and the
+        # gated-enhancement path work there too — see _crop_rows_mesh /
+        # _finish_gated_mesh.
+        enhanced = self.enh is not None
+        two_program = self.det.strategy == "all"
         uses_interim = enhanced or (two_program and self.crop_source == "interim")
         if uses_interim:
             run = self._run_detect_interim
@@ -830,7 +1051,7 @@ class FusedPipeline:
 
             # Warp the kept set in bounded power-of-two chunks; padding rows
             # repeat the last kept slot and are dropped below.
-            src_imgs, lm_scale, window = imgs, 1.0, None
+            src_imgs, lm_scale, window_t = imgs, 1.0, None
             if packed_hw is not None:
                 src_imgs = out[3]  # device-resident RGB reconstruction
             if self.crop_source == "interim":
@@ -840,12 +1061,28 @@ class FusedPipeline:
                     t, b, l, r = pad
                     src_imgs = out[3]  # the detect program's uint8 interim
                     lm_scale = float(scale)
-                    window = jnp.asarray(
-                        [t, l, ih - t - b, iw - l - r], jnp.int32
-                    )
-            crops_k, ok, dev_handle = self._crop_selected_chunked(
-                src_imgs, dev_face_lm, keep, lm_scale, window, pack=pack_crops
-            )
+                    window_t = (t, l, ih - t - b, iw - l - r)
+            if self.mesh is not None:
+                # Shard-local compaction: each shard warps exactly its own
+                # kept faces (work ∝ real faces, not N×max_faces slots).
+                n_loc = src_imgs.shape[0] // self.mesh.size
+                img_g = keep // k
+                lm_keep = (
+                    np.asarray(dev_face_lm)[keep] * np.float32(lm_scale)
+                ).astype(np.float32)
+                crops_k, ok = self._crop_rows_mesh(
+                    src_imgs, lm_keep, img_g // n_loc, img_g % n_loc,
+                    window_t, pack=pack_crops,
+                )
+                dev_handle = None
+            else:
+                window = None if window_t is None else jnp.asarray(
+                    window_t, jnp.int32
+                )
+                crops_k, ok, dev_handle = self._crop_selected_chunked(
+                    src_imgs, dev_face_lm, keep, lm_scale, window,
+                    pack=pack_crops,
+                )
             crops = crops_k[ok]
             face_lm = np.asarray(dev_face_lm)[keep][ok]
             indices = (keep[ok] // k).astype(np.int64)

@@ -173,14 +173,13 @@ def test_cropper_end_to_end_on_mesh(mesh, tmp_path, rng):
     assert len(os.listdir(out)) == 8
 
 
-def test_cropper_mesh_with_enhancement_matches_single(mesh, tmp_path, rng):
-    """Mesh run with enhancement active == single-device run, file for file.
+def test_cropper_mesh_with_enhancement_matches_single_staged(mesh, tmp_path, rng):
+    """Mesh STAGED run with enhancement == single-device staged run.
 
-    enh_threshold + mesh forces the staged-fallback branch
-    (cropper.py: gating needs cross-shard gathers, so _init_fused returns
-    early); the single-device side runs staged too (max_fused_shapes=0) so
-    both sides execute the same code path on the same interim pixels —
-    outputs must match exactly.
+    Both sides force the staged path (max_fused_shapes=0) so they execute
+    the same code on the same interim pixels — outputs must match exactly.
+    (The fused mesh enhancement path is covered by
+    :func:`test_cropper_mesh_fused_enhancement_matches_single`.)
     """
     import os
 
@@ -213,7 +212,7 @@ def test_cropper_mesh_with_enhancement_matches_single(mesh, tmp_path, rng):
 
     with pytest.warns(UserWarning):
         c2 = Cropper(mesh=mesh, **kwargs)
-    assert c2._fused is None  # enhancement + mesh: staged fallback branch
+    assert not c2._fused_eligible((64, 64), 8)  # staged on the mesh side too
     c2.process_dir(str(d), out2, desc=None)
 
     files1, files2 = sorted(os.listdir(out1)), sorted(os.listdir(out2))
@@ -222,3 +221,130 @@ def test_cropper_mesh_with_enhancement_matches_single(mesh, tmp_path, rng):
         a = imread_rgb(os.path.join(out1, f)).astype(int)
         b = imread_rgb(os.path.join(out2, f)).astype(int)
         assert np.abs(a - b).max() <= 1, f  # same math modulo partitioning
+
+
+def _gap_threshold(values: np.ndarray) -> float:
+    """Midpoint of the widest gap between finite values (robust gating)."""
+    vals = np.sort(np.unique(values[np.isfinite(values)]))
+    if len(vals) < 2:
+        return float(vals.max()) + 1.0 if len(vals) else 1.0
+    gaps = np.diff(vals)
+    g = int(np.argmax(gaps))
+    return float((vals[g] + vals[g + 1]) / 2)
+
+
+def test_cropper_mesh_fused_enhancement_matches_single(mesh, tmp_path, rng):
+    """FUSED mesh run with *partial* gated enhancement == single-device
+    fused run, file for file (VERDICT r3 #2: `_init_fused` no longer bails
+    on enh_model + mesh; gating/SR/warp run shard-locally).
+    """
+    import os
+
+    from face_crop_plus_tpu import Cropper
+    from face_crop_plus_tpu.models.enhancement import mean_face_factor
+    from face_crop_plus_tpu.utils.io import imread_rgb, imwrite
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    imgs = rng.integers(0, 255, (8, 64, 64, 3), dtype=np.uint8)
+    for i in range(8):
+        imwrite(str(d / f"m{i}.png"), imgs[i])
+
+    kwargs = dict(
+        output_size=32,
+        resize_size=64,
+        strategy="best",
+        det_threshold=-1.0,
+        enh_threshold=1.0,  # placeholder; set to a gap midpoint below
+        batch_size=8,
+    )
+    def shrink_trunk(c):
+        # 2-block trunk keeps the CPU XLA compile affordable; the random
+        # init is seed-deterministic, so both croppers get identical params.
+        c.enh_model.num_blocks = 2
+        c.enh_model.params = dict(c.enh_model._init_fn()())
+
+    with pytest.warns(UserWarning):
+        c1 = Cropper(device=jax.devices()[0], **kwargs)
+    shrink_trunk(c1)
+    assert c1._fused is not None
+
+    # Pick a gate threshold mid-gap of the actual per-image face factors so
+    # SOME images are gated and some are not (both shard-local branches run).
+    lm, idx = c1.det_model.predict(imgs)
+    factors = mean_face_factor(lm, idx, 8, (64, 64))
+    thr = _gap_threshold(factors)
+    gated = np.isfinite(factors) & (factors <= thr)
+    assert 0 < gated.sum() < 8, "need a mixed gated/plain batch"
+    c1.enh_model.min_face_factor = thr
+
+    out1 = str(tmp_path / "out_single")
+    c1.process_dir(str(d), out1, desc=None)
+    assert c1.stats.calls["detect+crop"] > 0  # fused path ran
+    assert c1.stats.calls.get("enhance", 0) == 0  # no staged fallback
+
+    with pytest.warns(UserWarning):
+        c2 = Cropper(mesh=mesh, **kwargs)
+    shrink_trunk(c2)
+    assert c2._fused is not None  # enhancement + mesh keeps the fused path
+    c2.enh_model.min_face_factor = thr
+    out2 = str(tmp_path / "out_mesh")
+    c2.process_dir(str(d), out2, desc=None)
+    assert c2.stats.calls["detect+crop"] > 0  # fused path ran on the mesh
+    assert c2.stats.calls.get("enhance", 0) == 0  # no staged fallback
+
+    files1, files2 = sorted(os.listdir(out1)), sorted(os.listdir(out2))
+    assert files1 == files2 == [f"m{i}.png" for i in range(8)]
+    for f in files1:
+        a = imread_rgb(os.path.join(out1, f)).astype(int)
+        b = imread_rgb(os.path.join(out2, f)).astype(int)
+        assert np.abs(a - b).max() <= 1, f  # same math modulo partitioning
+
+
+def test_cropper_mesh_strategy_all_matches_single(mesh, tmp_path, rng):
+    """Strategy-"all" mesh run == single-device run (VERDICT r3 #3).
+
+    The mesh path now uses per-shard two-program compaction
+    (``FusedPipeline._crop_rows_mesh``): warp work ∝ real faces instead of
+    the N×max_faces padded grid.  Output trees must match the single-device
+    two-program path file for file.
+    """
+    import os
+
+    from face_crop_plus_tpu import Cropper
+    from face_crop_plus_tpu.utils.io import imread_rgb, imwrite
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(8):
+        imwrite(
+            str(d / f"a{i}.png"),
+            rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+        )
+
+    kwargs = dict(
+        output_size=32,
+        resize_size=64,
+        strategy="all",
+        det_threshold=-1.0,
+        enh_threshold=None,
+        max_faces=4,
+        pre_topk=32,
+        batch_size=8,
+    )
+    out1 = str(tmp_path / "out_single")
+    out2 = str(tmp_path / "out_mesh")
+    with pytest.warns(UserWarning):
+        c1 = Cropper(device=jax.devices()[0], **kwargs)
+    c1.process_dir(str(d), out1, desc=None)
+    with pytest.warns(UserWarning):
+        c2 = Cropper(mesh=mesh, **kwargs)
+    c2.process_dir(str(d), out2, desc=None)
+    assert c2.stats.calls["detect+crop"] > 0
+
+    files1, files2 = sorted(os.listdir(out1)), sorted(os.listdir(out2))
+    assert files1 == files2 and len(files1) >= 8
+    for f in files1:
+        a = imread_rgb(os.path.join(out1, f)).astype(int)
+        b = imread_rgb(os.path.join(out2, f)).astype(int)
+        assert np.abs(a - b).max() <= 1, f
