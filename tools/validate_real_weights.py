@@ -43,12 +43,18 @@ def load_manifest() -> dict:
         return json.load(f)
 
 
-def verify_checksums(manifest: dict, pth_paths: dict) -> None:
-    """Verifies (or trust-on-first-use records) the .pth checksums.
+def verify_checksums(
+    manifest: dict, pth_paths: dict, trust_first_use: bool = False
+) -> None:
+    """Verifies (or, with explicit consent, records) the .pth checksums.
 
     Checksums cannot be pre-computed in the zero-egress build environment,
-    so the manifest ships with nulls; the first networked run fills them
-    (and prints the manifest to commit), later runs hard-verify.
+    so the manifest ships with nulls.  The gate is FAIL-CLOSED: a null
+    entry is an error unless the operator passes ``--trust-first-use``,
+    which records the observed hashes (and prints the manifest to commit);
+    every later run hard-verifies against the pinned values.  This keeps a
+    corrupted or substituted first download from being silently accepted
+    and then enforced.
     """
     changed = False
     for name, path in pth_paths.items():
@@ -59,6 +65,14 @@ def verify_checksums(manifest: dict, pth_paths: dict) -> None:
         digest, size = h.hexdigest(), os.path.getsize(path)
         entry = manifest["files"][name]
         if entry["sha256"] is None:
+            if not trust_first_use:
+                fail(
+                    f"manifest has no pinned sha256 for '{name}' and "
+                    "--trust-first-use was not given. Verify the artifact "
+                    "out-of-band (or accept this download explicitly) and "
+                    f"re-run with --trust-first-use; observed sha256="
+                    f"{digest} ({size} B)."
+                )
             entry["sha256"], entry["bytes"] = digest, size
             changed = True
             print(f"manifest: recorded {name} sha256={digest[:16]}… ({size} B)")
@@ -91,6 +105,12 @@ def main():
     ap.add_argument("--demo-dir", default=DEMO)
     ap.add_argument("--resize", type=int, default=1024,
                     help="detector resolution (lower it for CPU smoke runs)")
+    ap.add_argument(
+        "--trust-first-use", action="store_true",
+        help="record (rather than reject) checksums the manifest has not "
+             "pinned yet — requires explicit operator consent; the updated "
+             "manifest must then be committed",
+    )
     args = ap.parse_args()
 
     from face_crop_plus_tpu.models.weights import (
@@ -115,7 +135,7 @@ def main():
 
     manifest = load_manifest()
     tol = manifest["tolerances"]
-    verify_checksums(manifest, pth_paths)
+    verify_checksums(manifest, pth_paths, args.trust_first_use)
 
     import jax.numpy as jnp
     import torch
