@@ -14,9 +14,13 @@ stride on the 3x3 conv; stage widths 64/128/256/512 with depths 3/4/6/3.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops.nn import Params, batch_norm, conv2d, leaky_relu, max_pool
+from ..ops.s2d import space_to_depth, stem_s2d_weight
 
 
 def _bottleneck(
@@ -49,6 +53,40 @@ def _stage(
     return x
 
 
+def _stem_conv(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
+    """The 7x7/2 stem conv, by default in space-to-depth form.
+
+    The raw stem convolves 3 input channels — 3/128 lane packing plus ~12x
+    overlapping reads make it ~17% of detector runtime at 3.7% MFU
+    (tools/detect_stage_times.py).  :func:`stem_s2d_weight` documents the
+    exact stride-1 reformulation on the s2d input.  ``FCPT_STEM_MODE=plain``
+    restores the direct conv; odd spatial dims always fall back.
+    """
+    ci = x.shape[-1]
+    # Checkpoint-stable parameter shape regardless of execution mode.
+    w = p.get(f"{prefix}.conv1.weight", (7, 7, ci, 64), "conv")
+    mode = os.environ.get("FCPT_STEM_MODE", "s2d2")
+    if mode == "plain" or x.shape[1] % 2 or x.shape[2] % 2:
+        return lax.conv_general_dilated(
+            x,
+            jnp.asarray(w).astype(x.dtype),
+            window_strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+    w2 = stem_s2d_weight(w).astype(x.dtype)
+    y = lax.conv_general_dilated(
+        space_to_depth(x),
+        w2,
+        window_strides=(1, 1),
+        padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(x.dtype)
+
+
 def resnet50_features(
     p: Params, prefix: str, x: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -62,7 +100,7 @@ def resnet50_features(
     Returns:
         Features at strides 8/16/32 with 512/1024/2048 channels.
     """
-    x = conv2d(p, f"{prefix}.conv1", x, 64, kernel=7, stride=2, padding=3)
+    x = _stem_conv(p, prefix, x)
     x = leaky_relu(batch_norm(p, f"{prefix}.bn1", x))
     x = max_pool(x, window=3, stride=2, padding=1)
 

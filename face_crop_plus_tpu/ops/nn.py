@@ -166,14 +166,25 @@ def resize_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     return x[:, iy][:, :, ix]
 
 
-def _linear_resize_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+def _linear_resize_matrix(
+    n_in: int, n_out: int, align_corners: bool, pad: tuple[int, int] = (0, 0)
+) -> np.ndarray:
     """Dense (n_out, n_in) bilinear interpolation matrix (one axis).
 
     Expressing resize as a matmul maps it onto the MXU — the TPU-native way
     to do the fixed 64→512 upsample inside BiSeNet (align_corners=True,
     which ``jax.image.resize`` does not support) and the 512-px model input
     resize.
+
+    ``pad`` embeds (before, after) rows of zeros around the interpolation
+    rows, folding a zero-``jnp.pad`` of the resized output into the same
+    matmul — one HBM round trip instead of two (resize buffer + pad buffer).
     """
+    if pad != (0, 0):
+        m = _linear_resize_matrix(n_in, n_out, align_corners)
+        out = np.zeros((pad[0] + n_out + pad[1], n_in), dtype=np.float32)
+        out[pad[0] : pad[0] + n_out] = m
+        return out
     if n_in == n_out:
         return np.eye(n_out, dtype=np.float32)
     if align_corners:
@@ -195,17 +206,24 @@ def _linear_resize_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndar
 
 
 def resize_bilinear(
-    x: jnp.ndarray, size: tuple[int, int], align_corners: bool = False
+    x: jnp.ndarray,
+    size: tuple[int, int],
+    align_corners: bool = False,
+    pad: tuple[tuple[int, int], tuple[int, int]] | None = None,
 ) -> jnp.ndarray:
     """Separable bilinear resize as two MXU matmuls (torch-parity sampling).
 
     Matches ``F.interpolate(mode="bilinear", align_corners=...)`` for both
-    corner conventions.
+    corner conventions.  ``pad`` = ((top, bottom), (left, right)) appends
+    zero borders around the resized image inside the same matmuls —
+    identical to a following ``jnp.pad`` without materializing the unpadded
+    intermediate.
     """
     h, w = x.shape[1], x.shape[2]
     oh, ow = size
-    my = jnp.asarray(_linear_resize_matrix(h, oh, align_corners))
-    mx = jnp.asarray(_linear_resize_matrix(w, ow, align_corners))
+    py, px = pad if pad is not None else ((0, 0), (0, 0))
+    my = jnp.asarray(_linear_resize_matrix(h, oh, align_corners, tuple(py)))
+    mx = jnp.asarray(_linear_resize_matrix(w, ow, align_corners, tuple(px)))
     y = jnp.einsum(
         "oh,nhwc->nowc", my.astype(x.dtype), x, preferred_element_type=jnp.float32
     )

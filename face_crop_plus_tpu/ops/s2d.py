@@ -97,6 +97,32 @@ def s2d_bias(b: np.ndarray) -> np.ndarray:
     return np.repeat(b, 4)
 
 
+def stem_s2d_weight(w) -> jnp.ndarray:
+    """(7, 7, Cin, Cout) stride-2 pad-3 stem kernel → (4, 4, 4Cin, Cout).
+
+    The ResNet stem ``y[i,j] = Σ_{dy,dx∈[-3,3]} W[dy+3, dx+3] · x[2i+dy,
+    2j+dx]`` (stride 2, zero-pad 3) is exactly a stride-1 conv on the
+    :func:`space_to_depth` input: with ``dy = 2(k-2) + a`` (``k`` the s2d
+    kernel row, ``a`` the sub-row) the taps regroup as
+    ``W'[k, kx, c*4 + a*2 + b, o] = W[2k+a-4+3, 2kx+b-4+3, c, o]`` (zero
+    where the index leaves [0, 7)), applied with asymmetric zero padding
+    ((2, 1), (2, 1)) on the half-resolution grid.
+
+    Why: the raw stem convolves 3 input channels — 3/128 lane packing and
+    ~12x overlapping input reads make it one of the slowest ops in the
+    detector per FLOP (measured: 0.68 ms/img of a 3.9 ms/img program,
+    tools/detect_stage_times.py).  The s2d form reads each input pixel
+    ~4x through 12 channels.  16·12 = 192 taps vs 49·3 = 147 → 1.3x nominal
+    FLOPs, irrelevant at 3.7% MFU.  Exact for even H, W: the out-of-range
+    original rows (−4, H+1 side analog) only ever meet structural zeros.
+    """
+    kh, kw, ci, co = w.shape
+    assert (kh, kw) == (7, 7), w.shape
+    wp = jnp.pad(jnp.asarray(w), ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w2 = wp.reshape(4, 2, 4, 2, ci, co).transpose(0, 2, 4, 1, 3, 5)
+    return w2.reshape(4, 4, 4 * ci, co)
+
+
 def space_to_depth_w(x: jnp.ndarray) -> jnp.ndarray:
     """(N, H, W, C) → (N, H, W/2, 2C), W-axis sub-minor interleaved layout
     ``x'[n, h, j, c*2 + dj] = x[n, h, 2j + dj, c]``.

@@ -76,8 +76,11 @@ def device_resize_pad(
     t, b, l, r = pad
     hh, ww = size[1] - t - b, size[0] - l - r
 
-    x = resize_bilinear(images.astype(jnp.float32), (hh, ww))
-    x = jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
+    # Zero borders fold into the resize matmuls (zero matrix rows): one HBM
+    # round trip for resize+pad instead of two full-interim buffers.
+    x = resize_bilinear(
+        images.astype(jnp.float32), (hh, ww), pad=((t, b), (l, r))
+    )
     return x, jnp.float32(scale), jnp.asarray(pad, jnp.int32)
 
 

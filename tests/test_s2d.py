@@ -110,3 +110,36 @@ def test_enhancer_s2d_matches_plain(hw):
     diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 0.01
+
+
+def test_stem_s2d_conv_exact():
+    """The 7x7/2 stem conv equals its s2d form (stem_s2d_weight lemma)."""
+    import os
+
+    from face_crop_plus_tpu.models.backbones import _stem_conv
+
+    rng = np.random.default_rng(7)
+    w = rng.normal(size=(7, 7, 3, 64)).astype(np.float32)
+    p = Params({"body.conv1.weight": jnp.asarray(w)})
+    # Non-square, face-pipeline-flavored even dims + a tiny edge-stress size.
+    for shape in ((2, 64, 48, 3), (1, 8, 10, 3)):
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        os.environ["FCPT_STEM_MODE"] = "plain"
+        try:
+            yp = _stem_conv(p, "body", x)
+        finally:
+            os.environ.pop("FCPT_STEM_MODE")
+        ys = _stem_conv(p, "body", x)  # default: s2d2
+        assert ys.shape == yp.shape == (shape[0], shape[1] // 2, shape[2] // 2, 64)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yp), atol=2e-4)
+
+
+def test_stem_s2d_odd_dims_fall_back():
+    from face_crop_plus_tpu.models.backbones import _stem_conv
+
+    rng = np.random.default_rng(8)
+    w = rng.normal(size=(7, 7, 3, 64)).astype(np.float32)
+    p = Params({"body.conv1.weight": jnp.asarray(w)})
+    x = jnp.asarray(rng.normal(size=(1, 9, 12, 3)).astype(np.float32))
+    y = _stem_conv(p, "body", x)  # odd H: direct conv, torch-size output
+    assert y.shape == (1, 5, 6, 64)

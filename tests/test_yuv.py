@@ -455,11 +455,17 @@ class TestPackedFetchE2E:
     """Detection-mode process_dir with packed fetches forced on (CPU)."""
 
     @pytest.fixture()
-    def jpeg_dir(self, tmp_path, rng):
+    def jpeg_dir(self, tmp_path):
+        # Own seeded generator, NOT the session rng: with random detector
+        # weights a different suite order would change the images, and an
+        # unlucky draw hits the degenerate-transform host fallback — the
+        # packed-writer engagement assertions below would then be vacuous
+        # (same order-dependence class STATUS r3 fixed for packed uploads).
+        gen = np.random.default_rng(2024)
         d = tmp_path / "imgs"
         d.mkdir()
         for i in range(4):
-            imwrite(str(d / f"pic_{i}.jpg"), _natural_image(rng, 120, 160))
+            imwrite(str(d / f"pic_{i}.jpg"), _natural_image(gen, 120, 160))
         return str(d)
 
     def _run(self, tmp_path, jpeg_dir, name, **kw):
@@ -545,9 +551,8 @@ class TestPackedFetchE2E:
         assert np.array_equal(packed, rgb_to_yuv420_np(raw))
 
     @needs_encoder
-    @needs_encoder
     def test_packed_with_parser_handoff(self, tmp_path, jpeg_dir,
-                                        monkeypatch, rng):
+                                        monkeypatch):
         """Parser-active batches pack the save copy when the parser reads
         the device crop array (single fused group ⇒ device handoff)."""
         import face_crop_plus_tpu.utils.io as fio
