@@ -20,7 +20,14 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.nn import Params, batch_norm, conv2d, leaky_relu, max_pool
-from ..ops.s2d import space_to_depth, stem_s2d_weight
+from ..ops.s2d import (
+    s2dw_conv1_weight_j,
+    s2dw_conv3_weight_j,
+    space_to_depth,
+    space_to_depth_w,
+    depth_to_space_w,
+    stem_s2d_weight,
+)
 
 
 def _bottleneck(
@@ -51,6 +58,90 @@ def _stage(
     for i in range(1, depth):
         x = _bottleneck(p, f"{name}.{i}", x, width, 1, project=False)
     return x
+
+
+def _conv_ws2d(
+    p: Params, name: str, x: jnp.ndarray, features: int, kernel: int
+) -> jnp.ndarray:
+    """Stride-1 conv on a W-s2d activation with checkpoint-shape weights.
+
+    Fetches the ordinary ``(k, k, Ci, Co)`` kernel and applies its W-s2d
+    form (see :mod:`..ops.s2d`), so parameter shapes stay identical across
+    execution modes.
+    """
+    ci = x.shape[-1] // 2
+    w = p.get(f"{name}.weight", (kernel, kernel, ci, features), "conv")
+    w = jnp.asarray(w)
+    w2 = (
+        s2dw_conv3_weight_j(w) if kernel == 3 else s2dw_conv1_weight_j(w)
+    ).astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x,
+        w2,
+        window_strides=(1, 1),
+        padding=((kernel // 2, kernel // 2), (kernel // 2, kernel // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(x.dtype)
+
+
+def _bn_ws2d(p: Params, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    """Folded BN on a W-s2d activation (per-channel params repeated x2)."""
+    c = x.shape[-1] // 2
+    scale = jnp.repeat(jnp.asarray(p.get(f"{name}.scale", (c,), "ones")), 2)
+    bias = jnp.repeat(jnp.asarray(p.get(f"{name}.bias", (c,), "zeros")), 2)
+    return (x * scale.astype(x.dtype) + bias.astype(x.dtype)).astype(x.dtype)
+
+
+def _bottleneck_ws2d(
+    p: Params, name: str, x: jnp.ndarray, width: int, project: bool
+) -> jnp.ndarray:
+    """Stride-1 torchvision Bottleneck executed in W-s2d space.
+
+    Why: layer1's 64-channel 3x3 convs fill half the 128-wide MXU/vreg
+    lanes; measured at 256² they run at ~20% MFU and are the largest single
+    stage of the fused detect program (tools/detect_stage_times.py).  The
+    W-only transform doubles channels (64 → 128 packs lanes exactly) at 2x
+    nominal FLOPs for the 3x3s and zero extra FLOPs structurally for the
+    block-diagonal 1x1s.  Elementwise ops and residual adds commute with
+    the layout.
+    """
+    out = _conv_ws2d(p, f"{name}.conv1", x, width, kernel=1)
+    out = leaky_relu(_bn_ws2d(p, f"{name}.bn1", out))
+    out = _conv_ws2d(p, f"{name}.conv2", out, width, kernel=3)
+    out = leaky_relu(_bn_ws2d(p, f"{name}.bn2", out))
+    out = _conv_ws2d(p, f"{name}.conv3", out, width * 4, kernel=1)
+    out = _bn_ws2d(p, f"{name}.bn3", out)
+
+    if project:
+        identity = _conv_ws2d(p, f"{name}.downsample.0", x, width * 4, kernel=1)
+        identity = _bn_ws2d(p, f"{name}.downsample.1", identity)
+    else:
+        identity = x
+    return leaky_relu(out + identity)
+
+
+def _layer1(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
+    """layer1 (3 stride-1 bottlenecks); ``FCPT_L1_MODE=ws2d`` opts in to
+    W-s2d execution.
+
+    Measured (TPU v5e, 1024², batch 16, tools/detect_traffic.py): ws2d is a
+    *negative* lever here — 3.61 vs 3.20 ms/img for the fused detect
+    program.  The bracketing transposes add ~1.1 GB/batch of copy traffic
+    and the 3x3 FLOPs double, while the plain stage's 43 TF/s turns out not
+    to be lane-bound (unlike the SR trunk, where ws2d is the production
+    mode).  Kept as an exact, tested execution strategy; default plain.
+    """
+    name = f"{prefix}.layer1"
+    mode = os.environ.get("FCPT_L1_MODE", "plain")
+    if mode != "ws2d" or x.shape[2] % 2:
+        return _stage(p, name, x, 64, 3, stride=1)
+    x = space_to_depth_w(x)
+    x = _bottleneck_ws2d(p, f"{name}.0", x, 64, project=True)
+    x = _bottleneck_ws2d(p, f"{name}.1", x, 64, project=False)
+    x = _bottleneck_ws2d(p, f"{name}.2", x, 64, project=False)
+    return depth_to_space_w(x)
 
 
 def _stem_conv(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
@@ -104,7 +195,7 @@ def resnet50_features(
     x = leaky_relu(batch_norm(p, f"{prefix}.bn1", x))
     x = max_pool(x, window=3, stride=2, padding=1)
 
-    x = _stage(p, f"{prefix}.layer1", x, 64, 3, stride=1)
+    x = _layer1(p, prefix, x)
     c3 = _stage(p, f"{prefix}.layer2", x, 128, 4, stride=2)
     c4 = _stage(p, f"{prefix}.layer3", c3, 256, 6, stride=2)
     c5 = _stage(p, f"{prefix}.layer4", c4, 512, 3, stride=2)

@@ -173,6 +173,48 @@ def s2dw_bias(b: np.ndarray) -> np.ndarray:
     return np.repeat(b, 2)
 
 
+def s2dw_conv3_weight_j(w: jnp.ndarray) -> jnp.ndarray:
+    """Traceable :func:`s2dw_conv_weight`: (3, 3, Ci, Co) → (3, 3, 2Ci, 2Co).
+
+    Same mapping (``W'[k, q+1, ci*2+si, co*2+so] = W[k, v+1]``,
+    ``v = 2q + si - so`` kept in ``[-1, 1]``) built from stacks/reshapes so
+    it can run on the in-jit parameter tensors — the transformed kernels are
+    a few hundred KB, so re-deriving them per call is noise next to the
+    convs they feed.
+    """
+    kh, kw, ci, co = w.shape
+    assert (kh, kw) == (3, 3), w.shape
+    z = jnp.zeros((kh, ci, co), w.dtype)
+    cols = []
+    for q in (-1, 0, 1):
+        sis = []
+        for si in (0, 1):
+            sos = []
+            for so in (0, 1):
+                v = 2 * q + si - so
+                sos.append(w[:, v + 1] if -1 <= v <= 1 else z)
+            sis.append(jnp.stack(sos, 0))
+        cols.append(jnp.stack(sis, 0))
+    t = jnp.stack(cols, 0)  # (q, si, so, kh, ci, co)
+    t = t.transpose(3, 0, 4, 1, 5, 2)  # (kh, q, ci, si, co, so)
+    return t.reshape(kh, 3, 2 * ci, 2 * co)
+
+
+def s2dw_conv1_weight_j(w: jnp.ndarray) -> jnp.ndarray:
+    """Traceable 1x1 W-s2d form: block-diagonal (1, 1, 2Ci, 2Co).
+
+    A 1x1 conv acts on each sub-column independently, so ``si == so``:
+    ``W'[0, 0, ci*2+s, co*2+s] = W[0, 0, ci, co]``.
+    """
+    kh, kw, ci, co = w.shape
+    assert (kh, kw) == (1, 1), w.shape
+    z = jnp.zeros_like(w)
+    t = jnp.stack([jnp.stack([w, z], 0), jnp.stack([z, w], 0)], 0)
+    # (si, so, 1, 1, ci, co) → (1, 1, ci, si, co, so)
+    t = t.transpose(2, 3, 4, 0, 5, 1)
+    return t.reshape(1, 1, 2 * ci, 2 * co)
+
+
 def transform_conv_params(params: dict) -> dict:
     """Returns s2d-transformed copies of every ``*.weight``/``*.bias`` entry.
 

@@ -143,3 +143,49 @@ def test_stem_s2d_odd_dims_fall_back():
     x = jnp.asarray(rng.normal(size=(1, 9, 12, 3)).astype(np.float32))
     y = _stem_conv(p, "body", x)  # odd H: direct conv, torch-size output
     assert y.shape == (1, 5, 6, 64)
+
+
+def test_layer1_ws2d_matches_plain():
+    """The ws2d layer1 stage equals the plain stage (s2dw lemma on a full
+    bottleneck stack: block-diagonal 1x1s, transformed 3x3s, repeated BN)."""
+    import os
+
+    from face_crop_plus_tpu.models.backbones import _layer1
+    from face_crop_plus_tpu.ops.nn import init_structure
+
+    rng = np.random.default_rng(11)
+    data = init_structure(lambda p, x: _layer1(p, "body", x), (1, 8, 8, 64), 11)
+    # Perturb BN from identity so the repeated scale/bias path is exercised.
+    for k, v in data.items():
+        if k.endswith(".scale"):
+            data[k] = rng.uniform(0.5, 1.5, v.shape).astype(np.float32)
+        elif k.endswith(".bias"):
+            data[k] = rng.normal(0, 0.2, v.shape).astype(np.float32)
+    p = Params(data)
+    x = jnp.asarray(rng.normal(size=(2, 16, 12, 64)).astype(np.float32))
+    yp = _layer1(p, "body", x)  # default: plain
+    os.environ["FCPT_L1_MODE"] = "ws2d"
+    try:
+        yw = _layer1(p, "body", x)
+    finally:
+        os.environ.pop("FCPT_L1_MODE")
+    assert yw.shape == yp.shape == (2, 16, 12, 256)
+    np.testing.assert_allclose(np.asarray(yw), np.asarray(yp), atol=3e-4)
+
+
+def test_layer1_ws2d_odd_w_falls_back():
+    import os
+
+    from face_crop_plus_tpu.models.backbones import _layer1
+    from face_crop_plus_tpu.ops.nn import init_structure
+
+    rng = np.random.default_rng(12)
+    data = init_structure(lambda p, x: _layer1(p, "body", x), (1, 8, 8, 64), 12)
+    p = Params(data)
+    x = jnp.asarray(rng.normal(size=(1, 6, 9, 64)).astype(np.float32))
+    os.environ["FCPT_L1_MODE"] = "ws2d"
+    try:
+        y = _layer1(p, "body", x)  # odd W: plain stage, same output contract
+    finally:
+        os.environ.pop("FCPT_L1_MODE")
+    assert y.shape == (1, 6, 9, 256)

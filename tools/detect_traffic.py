@@ -86,7 +86,10 @@ def attribute_hlo(compiled, top=25):
     rows = []
     for line in body.splitlines():
         line = line.strip()
-        m = re.match(r"(%?[\w.\-]+)\s*=\s*((?:\([^)]*\)|[\w\[\]{},/ ]+?))\s+(\w+)", line)
+        # `%name = <shape-with-layout-annotations> op(...)`; the layout part
+        # may contain (), : and T(8,128) tokens, so anchor on the trailing
+        # `op(` instead of whitelisting shape characters.
+        m = re.match(r"(%?[\w.\-]+)\s*=\s*(.*?)\s+([a-z][\w\-]*)\(", line)
         if not m:
             continue
         name, shape, op = m.group(1), m.group(2), m.group(3)
