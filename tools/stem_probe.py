@@ -77,6 +77,61 @@ def make_s2d2(w, scale, bias):
     return jax.jit(f)
 
 
+def stem_ws2d_out_weight(w):
+    """(7,7,3,64) stem -> (4,3,24,128) kernel: s2d2 input with W-blocks
+    paired (channels b*12+c), output in W-s2d layout (channels o*2+so).
+
+    y'[i, j, o*2+so] = y_s2d2[i, 2j+so, o]; the s2d2 conv reads xs2d block
+    B = 2j + so + kx - 2 (pad (2,1)), which in pair coordinates is
+    P = j + Q, sub-block b with (Q, b) = divmod(so + kx - 2, 2); pair
+    padding (1, 1).  Pair -1 = original columns -4..-1 (all structural
+    zeros or real pad), pair 256 = columns 1024..1027 (ditto) — exact for
+    W % 4 == 0.  Rationale: 64 output channels fill only half the 128
+    MXU/vreg lanes; emitting the W-s2d layout doubles output lanes at
+    identical FLOPs.
+    """
+    from face_crop_plus_tpu.ops.s2d import stem_s2d_weight
+
+    w2 = np.asarray(stem_s2d_weight(w))  # (4, 4, 12, 64)
+    ci, co = w2.shape[2], w2.shape[3]
+    out = np.zeros((4, 3, 2 * ci, 2 * co), np.float32)
+    for so in (0, 1):
+        for kx in range(4):
+            q, b = divmod(so + kx - 2, 2)
+            out[:, q + 1, b * ci : (b + 1) * ci, so::2] += w2[:, kx]
+    return jnp.asarray(out)
+
+
+def make_ws2d_out(w, scale, bias):
+    from face_crop_plus_tpu.ops.s2d import depth_to_space_w, space_to_depth
+
+    ww0 = stem_ws2d_out_weight(np.asarray(w, np.float32))  # host-side, once
+
+    def f(x, dep):
+        x = x + dep
+        ww = ww0.astype(x.dtype)
+        xs = space_to_depth(x)  # (N, 512, 512, 12)
+        n, h2, w2_, c = xs.shape
+        x2 = xs.reshape(n, h2, w2_ // 2, 2 * c)  # pair W-blocks: b*12+c
+        y = lax.conv_general_dilated(
+            x2, ww, (1, 1), ((2, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)  # (N, 512, 256, 128), o*2+so
+        scale2 = jnp.repeat(scale, 2)
+        bias2 = jnp.repeat(bias, 2)
+        y = jnp.maximum(y * scale2 + bias2, 0)
+        z = depth_to_space_w(y)  # (N, 512, 512, 64)
+        z = lax.reduce_window(
+            z, -jnp.inf, lax.max,
+            window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+            padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+        return z, (z.astype(jnp.float32).sum() % 2).astype(x.dtype)
+
+    return jax.jit(f)
+
+
 def stem_s2d4_weight(w):
     """(7,7,3,64) -> (2,2,48,256): s2d4 input, s2d2-phase output channels.
 
@@ -182,7 +237,7 @@ def main():
     # exactness on small f32 first
     xs = jnp.asarray(rng.uniform(0, 255, (1, 32, 32, 3)).astype(np.float32))
     zp, _ = make_plain(w, scale, bias)(xs, jnp.float32(0))
-    for nm, mk in (("s2d2", make_s2d2), ("s2d4", make_s2d4)):
+    for nm, mk in (("s2d2", make_s2d2), ("s2d4", make_s2d4), ("ws2d_out", make_ws2d_out)):
         zv, _ = mk(w, scale, bias)(xs, jnp.float32(0))
         d = float(jnp.abs(zv - zp).max())
         log(f"exactness {nm}: shape {zv.shape} vs {zp.shape}  max|d| {d:.2e}")
@@ -194,6 +249,7 @@ def main():
         time_fn("plain", make_plain(wd, sd, bd), x)
         time_fn("s2d2", make_s2d2(wd, sd, bd), x)
         time_fn("s2d4", make_s2d4(wd, sd, bd), x)
+        time_fn("ws2d_out", make_ws2d_out(wd, sd, bd), x)
 
 
 if __name__ == "__main__":
