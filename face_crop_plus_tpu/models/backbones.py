@@ -27,6 +27,7 @@ from ..ops.s2d import (
     space_to_depth_w,
     depth_to_space_w,
     stem_s2d_weight,
+    stem_ws2d_weight,
 )
 
 
@@ -178,6 +179,72 @@ def _stem_conv(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
+def _stem_ws2d(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
+    """Stem conv + BN + ReLU + 3x3/2 maxpool, entirely in W-s2d phase space.
+
+    The conv emits the W-s2d layout directly (:func:`stem_ws2d_weight` —
+    128 output lanes instead of 64, measured 1.00 vs 1.18 ms/img conv-only
+    on TPU v5e); BN/ReLU commute (params repeated x2); the W half of the
+    maxpool runs as phase arithmetic so no full-resolution transpose is
+    ever materialized — only the pooled (H/4, W/8, 128) tensor converts
+    back.  *Negative in-program*: the fused detect program measures
+    3.77 vs 3.19 ms/img (tools/detect_traffic.py `stem_ws2d`) — the
+    phase-pool's strided even/odd slices cost more than the isolated conv
+    win; kept as an exact, tested opt-in (``FCPT_STEM_MODE=ws2d``),
+    default stays ``s2d2``.  Pool-output column ``m = 2j + s`` covers stem columns
+    ``2m-1..2m+1``; splitting stem blocks into even/odd (B0/B1) and phases
+    (P0/P1):  ``out_s0[j] = max(B1P1[j-1], B0P0[j], B0P1[j])`` and
+    ``out_s1[j] = max(B0P1[j], B1P0[j], B1P1[j])``.  Exact for
+    H % 4 == W % 4 == 0 (callers fall back otherwise).
+    """
+    ci = x.shape[-1]
+    w = p.get(f"{prefix}.conv1.weight", (7, 7, ci, 64), "conv")
+    ww = stem_ws2d_weight(jnp.asarray(w)).astype(x.dtype)
+    xs = space_to_depth(x)  # (N, H/2, W/2, 4Ci)
+    n, h2, w2, c = xs.shape
+    x2 = xs.reshape(n, h2, w2 // 2, 2 * c)  # pair W-blocks: b*4Ci + c
+    y = lax.conv_general_dilated(
+        x2,
+        ww,
+        window_strides=(1, 1),
+        padding=((2, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)  # (N, H/2, W/4, 128), channels o*2+so
+
+    scale = jnp.repeat(jnp.asarray(p.get(f"{prefix}.bn1.scale", (64,), "ones")), 2)
+    bias = jnp.repeat(jnp.asarray(p.get(f"{prefix}.bn1.bias", (64,), "zeros")), 2)
+    y = leaky_relu((y * scale.astype(y.dtype) + bias.astype(y.dtype)))
+
+    # H half of the 3x3/2 maxpool (standard axis), W half in phase space.
+    y = lax.reduce_window(
+        y, -jnp.inf, lax.max,
+        window_dimensions=(1, 3, 1, 1), window_strides=(1, 2, 1, 1),
+        padding=((0, 0), (1, 1), (0, 0), (0, 0)),
+    )  # (N, H/4, W/4, 128)
+    a = y.reshape(*y.shape[:3], 64, 2)  # [..., o, p]
+    b0, b1 = a[:, :, 0::2], a[:, :, 1::2]  # even/odd stem blocks
+    ninf = jnp.array(-jnp.inf, y.dtype)
+    b1p1_shift = jnp.concatenate(
+        [jnp.full_like(b1[:, :, :1, :, 1], ninf), b1[:, :, :-1, :, 1]], axis=2
+    )
+    out_s0 = jnp.maximum(jnp.maximum(b1p1_shift, b0[..., 0]), b0[..., 1])
+    out_s1 = jnp.maximum(jnp.maximum(b0[..., 1], b1[..., 0]), b1[..., 1])
+    z = jnp.stack([out_s0, out_s1], axis=-1)  # (N, H/4, W/8, 64, 2)
+    z = z.reshape(*z.shape[:3], 128)
+    return depth_to_space_w(z)  # (N, H/4, W/4, 64)
+
+
+def _stem_block(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
+    """Stem conv + BN + ReLU + maxpool, dispatched by ``FCPT_STEM_MODE``."""
+    mode = os.environ.get("FCPT_STEM_MODE", "s2d2")
+    if mode == "ws2d" and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+        return _stem_ws2d(p, prefix, x)
+    x = _stem_conv(p, prefix, x)
+    x = leaky_relu(batch_norm(p, f"{prefix}.bn1", x))
+    return max_pool(x, window=3, stride=2, padding=1)
+
+
 def resnet50_features(
     p: Params, prefix: str, x: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -191,10 +258,7 @@ def resnet50_features(
     Returns:
         Features at strides 8/16/32 with 512/1024/2048 channels.
     """
-    x = _stem_conv(p, prefix, x)
-    x = leaky_relu(batch_norm(p, f"{prefix}.bn1", x))
-    x = max_pool(x, window=3, stride=2, padding=1)
-
+    x = _stem_block(p, prefix, x)
     x = _layer1(p, prefix, x)
     c3 = _stage(p, f"{prefix}.layer2", x, 128, 4, stride=2)
     c4 = _stage(p, f"{prefix}.layer3", c3, 256, 6, stride=2)

@@ -123,6 +123,31 @@ def stem_s2d_weight(w) -> jnp.ndarray:
     return w2.reshape(4, 4, 4 * ci, co)
 
 
+def stem_ws2d_weight(w) -> jnp.ndarray:
+    """(7, 7, Cin, Cout) stem → (4, 3, 8Cin, 2Cout): s2d2 input with W-blocks
+    paired (channels b·4Cin + c), output in W-s2d layout (channels o·2+so).
+
+    Composition of :func:`stem_s2d_weight` with a W-pairing of both sides:
+    ``y'[i, j, o*2+so] = y_s2d2[i, 2j+so, o]``, and the s2d2 conv reads
+    s2d2 block ``B = 2j + so + kx - 2`` (pad (2,1)) = pair ``j + Q``,
+    sub-block ``b`` with ``(Q, b) = divmod(so + kx - 2, 2)``; pair padding
+    (1, 1).  Pair −1 / pair W/4 cover original columns −4..−1 /
+    W..W+3 — each either structural zeros or the conv's own zero padding,
+    so the form is exact for ``W % 4 == 0``.  Why: the s2d2 stem's 64
+    output channels fill half the 128 MXU/vreg lanes; the W-s2d output
+    doubles the lanes at identical FLOPs (measured 1.00 vs 1.18 ms/img
+    conv-only, tools/stem_probe.py).
+    """
+    w2 = stem_s2d_weight(w)  # (4, 4, 4Cin, Cout)
+    ci, co = w2.shape[2], w2.shape[3]
+    out = jnp.zeros((4, 3, 2 * ci, 2 * co), w2.dtype)
+    for so in (0, 1):
+        for kx in range(4):
+            q, b = divmod(so + kx - 2, 2)
+            out = out.at[:, q + 1, b * ci : (b + 1) * ci, so::2].set(w2[:, kx])
+    return out
+
+
 def space_to_depth_w(x: jnp.ndarray) -> jnp.ndarray:
     """(N, H, W, C) → (N, H, W/2, 2C), W-axis sub-minor interleaved layout
     ``x'[n, h, j, c*2 + dj] = x[n, h, 2j + dj, c]``.

@@ -121,8 +121,15 @@ def test_pack_flags_set_env(monkeypatch):
     assert "pack_upload" not in kw and "pack_fetch" not in kw
     assert "FCPT_PACK_UPLOAD" not in os.environ
     assert "FCPT_PACK_FETCH" not in os.environ
-    # Explicit values map onto the env knobs the library reads.
-    kw = parse_args(["-i", "x", "-d", "cpu", "-pu", "1", "-pf", "0"])
-    assert "pack_upload" not in kw and "pack_fetch" not in kw
-    assert os.environ["FCPT_PACK_UPLOAD"] == "1"
-    assert os.environ["FCPT_PACK_FETCH"] == "0"
+    # Explicit values map onto the env knobs the library reads.  parse_args
+    # writes os.environ directly; monkeypatch.delenv on an *absent* key
+    # records nothing to restore, so pop explicitly or the values leak into
+    # every later test in the process.
+    try:
+        kw = parse_args(["-i", "x", "-d", "cpu", "-pu", "1", "-pf", "0"])
+        assert "pack_upload" not in kw and "pack_fetch" not in kw
+        assert os.environ["FCPT_PACK_UPLOAD"] == "1"
+        assert os.environ["FCPT_PACK_FETCH"] == "0"
+    finally:
+        os.environ.pop("FCPT_PACK_UPLOAD", None)
+        os.environ.pop("FCPT_PACK_FETCH", None)

@@ -189,3 +189,60 @@ def test_layer1_ws2d_odd_w_falls_back():
     finally:
         os.environ.pop("FCPT_L1_MODE")
     assert y.shape == (1, 6, 9, 256)
+
+
+def test_stem_ws2d_block_exact():
+    """stem conv+BN+ReLU+pool in W-s2d phase space == the plain stem block
+    (stem_ws2d_weight + phase-pool lemma), including the -inf pool edge."""
+    import os
+
+    from face_crop_plus_tpu.models.backbones import _stem_block
+
+    rng = np.random.default_rng(21)
+    w = rng.normal(size=(7, 7, 3, 64)).astype(np.float32)
+    p = Params(
+        {
+            "body.conv1.weight": jnp.asarray(w),
+            "body.bn1.scale": jnp.asarray(
+                rng.uniform(0.5, 1.5, 64).astype(np.float32)
+            ),
+            "body.bn1.bias": jnp.asarray(
+                rng.normal(0, 0.2, 64).astype(np.float32)
+            ),
+        }
+    )
+    # W%4==0 sizes incl. a minimal one that stresses both pad edges.
+    for shape in ((2, 64, 48, 3), (1, 8, 8, 3)):
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        yp = _stem_block(p, "body", x)  # default: s2d2 + plain pool
+        os.environ["FCPT_STEM_MODE"] = "ws2d"
+        try:
+            yw = _stem_block(p, "body", x)
+        finally:
+            os.environ.pop("FCPT_STEM_MODE")
+        assert yw.shape == yp.shape == (shape[0], shape[1] // 4, shape[2] // 4, 64)
+        np.testing.assert_allclose(np.asarray(yw), np.asarray(yp), atol=3e-4)
+
+
+def test_stem_ws2d_nonmult4_falls_back():
+    import os
+
+    from face_crop_plus_tpu.models.backbones import _stem_block
+
+    rng = np.random.default_rng(22)
+    p = Params(
+        {
+            "body.conv1.weight": jnp.asarray(
+                rng.normal(size=(7, 7, 3, 64)).astype(np.float32)
+            ),
+            "body.bn1.scale": jnp.ones(64, np.float32),
+            "body.bn1.bias": jnp.zeros(64, np.float32),
+        }
+    )
+    x = jnp.asarray(rng.normal(size=(1, 10, 12, 3)).astype(np.float32))
+    os.environ["FCPT_STEM_MODE"] = "ws2d"
+    try:
+        y = _stem_block(p, "body", x)  # H%4!=0: s2d2/plain fallback
+    finally:
+        os.environ.pop("FCPT_STEM_MODE")
+    assert y.shape == (1, 3, 3, 64)

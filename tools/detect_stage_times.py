@@ -165,7 +165,7 @@ def main():
         f, b = cost[s][0] / BATCH / 1e9, cost[s][1] / BATCH / 1e9
         dt, df, db = t - prev_t, f - prev_f, b - prev_b
         tfs = df / dt if dt > 1e-6 else 0.0
-        gbs = db / dt if dt > 1e-6 else 0.0
+        gbs = db / dt * 1e3 if dt > 1e-6 else 0.0  # GB per ms -> GB/s
         log(f"{s:10s} {dt:8.2f} {df:8.1f} {db:8.3f} {tfs:7.1f} {gbs*1.0:7.0f} "
             f"{100*tfs/PEAK_TFLOPS:6.1f}% {100*gbs/PEAK_GBS:6.1f}%")
         prev_t, prev_f, prev_b = t, f, b

@@ -205,6 +205,8 @@ def main():
         os.environ.pop("FCPT_STEM_MODE", None)
         if v == "stem_plain":
             os.environ["FCPT_STEM_MODE"] = "plain"
+        elif v == "stem_ws2d":
+            os.environ["FCPT_STEM_MODE"] = "ws2d"
         fn = build_step(v)
         if v == variants[0] or "--hlo" in variants:
             lowered = fn.lower(det.params, imgs, jnp.uint8(0))

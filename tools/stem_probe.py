@@ -250,6 +250,48 @@ def main():
         time_fn("s2d2", make_s2d2(wd, sd, bd), x)
         time_fn("s2d4", make_s2d4(wd, sd, bd), x)
         time_fn("ws2d_out", make_ws2d_out(wd, sd, bd), x)
+        time_fn("conv_s2d2", make_conv_only("s2d2", wd, sd, bd), x)
+        time_fn("conv_ws2d", make_conv_only("ws2d", wd, sd, bd), x)
+
+
+
+
+def make_conv_only(kind, w, scale, bias):
+    """Times just conv(+bn+relu), no pool/transpose — isolates whether the
+    ws2d-out kernel's doubled output lanes speed the conv itself."""
+    from face_crop_plus_tpu.ops.s2d import space_to_depth, stem_s2d_weight
+
+    if kind == "s2d2":
+        ww0 = None
+
+        def f(x, dep):
+            x = x + dep
+            ww = stem_s2d_weight(w).astype(x.dtype)
+            y = lax.conv_general_dilated(
+                space_to_depth(x), ww, (1, 1), ((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            y = jnp.maximum(y * scale + bias, 0)
+            return y, (y.astype(jnp.float32).sum() % 2).astype(x.dtype)
+
+    else:
+        ww0 = stem_ws2d_out_weight(np.asarray(w, np.float32))
+
+        def f(x, dep):
+            x = x + dep
+            xs = space_to_depth(x)
+            n, h2, w2_, c = xs.shape
+            x2 = xs.reshape(n, h2, w2_ // 2, 2 * c)
+            y = lax.conv_general_dilated(
+                x2, ww0.astype(x.dtype), (1, 1), ((2, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            y = jnp.maximum(y * jnp.repeat(scale, 2) + jnp.repeat(bias, 2), 0)
+            return y, (y.astype(jnp.float32).sum() % 2).astype(x.dtype)
+
+    return jax.jit(f)
 
 
 if __name__ == "__main__":
