@@ -235,13 +235,21 @@ def peak_flops_per_s() -> float | None:
 
 
 def device_profile(cropper) -> dict | None:
-    """FLOPs / device-exec time / MFU of the fused detect program.
+    """FLOPs / device-exec time / MFU of the fused detect-path program.
 
     ``cost_analysis()`` gives the compiled program's FLOP count; device
-    execution time is measured by enqueueing k dispatches back-to-back
-    (async) and blocking once — the device runs them serially, so the
-    amortized per-dispatch wall time approaches pure program execution.
+    execution time is measured with the chained-dependency discipline
+    (tools/detect_traffic.py): each dispatch's input depends on the
+    previous dispatch's output, and only the final host fetch is the
+    barrier.  Merely re-dispatching identical args and fetching the last
+    output — the r3 method — under-measured ~2x on this platform (unread
+    duplicate dispatches are skipped/deduped), overstating the device
+    ceiling; chaining forces every program to really execute.
     MFU is vs the chip's public peak (detection is conv/matmul-dominated).
+
+    Under the host-crop execution mode the profiled program is the
+    detect-only one (crops are host work); otherwise the single-dispatch
+    detect+warp program.
     """
     import jax
     import jax.numpy as jnp
@@ -250,6 +258,12 @@ def device_profile(cropper) -> dict | None:
     if fp is None:
         return None
     det = fp.det
+    host_crop = (
+        cropper.enh_model is None
+        and cropper.par_model is None
+        and cropper._host_crop_enabled()
+    )
+    program = type(fp)._run_detect if host_crop else type(fp)._run
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.integers(0, 255, (BATCH,) + SRC_HW + (3,), np.uint8))
     if fp.device is not None:
@@ -259,7 +273,7 @@ def device_profile(cropper) -> dict | None:
     try:
         # Access through the class: the jit wrapper's ``lower`` does not
         # survive instance binding, so pass ``fp`` explicitly.
-        compiled = type(fp)._run.lower(fp, det.params, imgs, ih, iw, **kw).compile()
+        compiled = program.lower(fp, det.params, imgs, ih, iw, **kw).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
@@ -269,22 +283,28 @@ def device_profile(cropper) -> dict | None:
         log(f"cost_analysis unavailable: {e}")
         return None
 
-    out = fp._run(det.params, imgs, ih, iw, **kw)
-    np.asarray(out[3])  # fetch: on tunneled backends only a host read syncs
+    @jax.jit
+    def _chain(images, dep):
+        return images + dep
+
+    def run(images):
+        out = program(fp, det.params, images, ih, iw, **kw)
+        caps = out[2] if host_crop else out[3]
+        return (caps.sum() % 2).astype(jnp.uint8)
+
+    dep = run(imgs)
+    np.asarray(dep)  # fetch: on tunneled backends only a host read syncs
     k = 10
     t0 = time.perf_counter()
     for _ in range(k):
-        out = fp._run(det.params, imgs, ih, iw, **kw)
-    # Programs execute in order server-side; fetching the last dispatch's
-    # small caps output is the true barrier (block_until_ready does not
-    # force execution on the tunneled platform).  Adds one ~25 ms round
-    # trip over k iterations (~3% at k=10).
-    np.asarray(out[3])
+        dep = run(_chain(imgs, dep))
+    np.asarray(dep)
     exec_s = (time.perf_counter() - t0) / k
 
     peaks = _chip_peaks()
     peak, peak_bw = peaks if peaks else (None, None)
     prof = {
+        "program": "detect_only(host-crop)" if host_crop else "detect+warp",
         "batch": BATCH,
         "program_gflops": round(flops / 1e9, 1),
         "program_gbytes": round(nbytes / 1e9, 1),

@@ -253,6 +253,39 @@ class Cropper:
                 crop_source=self.crop_source,
             )
 
+    def _host_crop_enabled(self) -> bool:
+        """Whether detection-mode crops should be warped on the host.
+
+        XLA lowers the warp's per-pixel window gather to an effectively
+        scalar path: measured on a v5e (tools/warp_levers.py, all
+        formulations), 16×256² crops cost ~80 ms on device — more than the
+        whole 1024² ResNet-50 detect program (~51 ms) — while the native
+        AVX2 host kernel warps them in ~4 ms.  So when nothing downstream
+        needs device-resident crops, the TPU runs a detect-only program and
+        the host warps from the already-decoded sources (the reference also
+        warps on the host, cropper.py:514-547; ours is batched + threaded).
+
+        ``FCPT_HOST_CROP`` forces the choice: "1" on, "0" off; default
+        "auto" = on when the native warp kernel is available (the host
+        numpy fallback would beat the device gather too, but the native
+        kernel is what makes this a clear win on every backend).  Callers
+        additionally gate on: RGB host sources (not packed 4:2:0 uploads),
+        no enhancement (gated crops sample the device-resident enhanced
+        interim), no parser device-handoff, and ``crop_source="original"``
+        (the interim exists only on device).  Meshes keep the device path
+        (shard-local warps scale with the mesh; the host would serialize).
+        """
+        env = os.environ.get("FCPT_HOST_CROP", "auto")
+        if env == "0":
+            return False
+        if self.mesh is not None or self.crop_source != "original":
+            return False
+        if env == "1":
+            return True
+        from .utils.native_io import native_warp_available
+
+        return native_warp_available(self.padding)
+
     def _fused_eligible(self, shape, count: int) -> bool:
         """Grants/uses a fused program for a source shape (bounded set).
 
@@ -384,7 +417,9 @@ class Cropper:
         """
         return self._align_crop_filtered(images, padding, indices, landmarks_source)[0]
 
-    def _align_crop_filtered(self, images, paddings, indices, landmarks):
+    def _align_crop_filtered(
+        self, images, paddings, indices, landmarks, prefer_native: bool = False
+    ):
         """crop_align that also filters the indices of dropped faces.
 
         The reference silently drops a face whose transform could not be
@@ -392,11 +427,23 @@ class Cropper:
         names (cropper.py:529-531 + :850).  Internal callers use this
         variant, which drops crop and index together.
 
+        ``prefer_native`` routes the warp to the native host kernel even
+        with models/accelerator attached (the host-crop execution mode —
+        see :meth:`_host_crop_enabled`); transform estimation then uses the
+        numpy twins too, since nothing downstream needs a device array.
+
         Returns:
             Tuple of uint8 crops (F', Ho, Wo, 3) and int64 indices (F',).
         """
         indices = np.asarray(indices, np.int64)
-        matrices, valid = self._estimate(np.asarray(landmarks, np.float32))
+        landmarks = np.asarray(landmarks, np.float32)
+        if prefer_native:
+            from .ops.transform import estimate_affine_np, estimate_similarity_np
+
+            fit = estimate_affine_np if self.allow_skew else estimate_similarity_np
+            matrices, valid = fit(landmarks, np.asarray(self.landmarks_target))
+        else:
+            matrices, valid = self._estimate(landmarks)
         pos = np.nonzero(np.asarray(valid))[0]
         if len(pos) == 0:
             return (
@@ -406,9 +453,11 @@ class Cropper:
         indices = indices[pos]
         matrices = np.asarray(matrices)[pos]
         if isinstance(images, np.ndarray) and images.ndim == 4:
-            crops = self._warp_uniform(images, paddings, indices, matrices)
+            crops = self._warp_uniform(
+                images, paddings, indices, matrices, prefer_native
+            )
         else:
-            crops = self._warp_ragged(images, indices, matrices)
+            crops = self._warp_ragged(images, indices, matrices, prefer_native)
         return crops, indices
 
     #: Faces per warp dispatch: bounds the window-gather working set
@@ -423,14 +472,17 @@ class Cropper:
 
         return next_pow2(f)
 
-    def _native_warp(self, images, matrices, indices, windows):
+    def _native_warp(self, images, matrices, indices, windows, force=False):
         """Host-native warp when no accelerator is attached (else None).
 
         The reference leans on cv2.warpAffine's C++ for the pure-host
         configs (landmark-only CelebA, SURVEY §2.4); this build's
         equivalent is ``native/fcpt_io.cpp::fcpt_warp_affine_u8`` — ~3x
         XLA:CPU's gather-based warp, parity within one intensity level.
-        ``FCPT_NATIVE_WARP=0`` disables it.
+        ``FCPT_NATIVE_WARP=0`` disables it.  ``force`` bypasses the
+        pure-host/CPU-platform gate (the host-crop execution mode, where
+        the detector runs on device but crops are host work — see
+        :meth:`_host_crop_enabled`).
         """
         if self.mesh is not None or os.environ.get("FCPT_NATIVE_WARP") == "0":
             return None
@@ -444,7 +496,7 @@ class Cropper:
         # (_resolve_device never yields None, but a hand-built Cropper
         # might).
         pure_host = self.det_model is None and self.enh_model is None
-        if not pure_host and (
+        if not force and not pure_host and (
             self._device is None or self._device.platform != "cpu"
         ):
             return None
@@ -466,7 +518,7 @@ class Cropper:
             exact=os.environ.get("FCPT_WARP_EXACT") == "1",
         )
 
-    def _warp_uniform(self, images, padding, indices, matrices):
+    def _warp_uniform(self, images, padding, indices, matrices, prefer_native=False):
         """Warps faces out of a uniform (N, H, W, 3) batch."""
         if padding is not None:
             pad = np.asarray(padding, np.int64)
@@ -477,7 +529,9 @@ class Cropper:
         else:
             windows = None
 
-        native = self._native_warp(images, matrices, indices, windows)
+        native = self._native_warp(
+            images, matrices, indices, windows, force=prefer_native
+        )
         if native is not None:
             return native
 
@@ -495,6 +549,7 @@ class Cropper:
                     padding,
                     indices[s : s + chunk],
                     matrices[s : s + chunk],
+                    prefer_native,
                 )
                 for s in range(0, f, chunk)
             ]
@@ -515,7 +570,7 @@ class Cropper:
         )
         return np.asarray(to_uint8(out))[:f]
 
-    def _warp_ragged(self, images, indices, matrices):
+    def _warp_ragged(self, images, indices, matrices, prefer_native=False):
         """Warps faces from ragged images, grouped by identical source shape.
 
         Directories are typically homogeneous (e.g. CelebA), so this usually
@@ -536,7 +591,9 @@ class Cropper:
             local_idx = np.array(
                 [remap[int(indices[i])] for i in face_ids], np.int32
             )
-            native = self._native_warp(stack, matrices[face_ids], local_idx, None)
+            native = self._native_warp(
+                stack, matrices[face_ids], local_idx, None, force=prefer_native
+            )
             if native is not None:
                 crops[face_ids] = native
                 continue
@@ -927,11 +984,23 @@ class Cropper:
                     and not classic_ids
                 )
                 dev_crops = None
+                # Host-crop execution mode: the device runs detect-only and
+                # the host warps from the already-decoded sources — the
+                # device warp's gather is slower than the whole detector
+                # (see _host_crop_enabled).  Needs host RGB sources and no
+                # device-side crop consumer.
+                host_crop = (
+                    self.enh_model is None
+                    and not want_packed
+                    and not device_handoff
+                    and self._host_crop_enabled()
+                )
                 # JPEG-bound crops come down as device-packed 4:2:0 rows
                 # (half the fetch bytes); with a parser active this needs
                 # the device handoff (the parser reads the RGB device
                 # array, so only the save copy crosses the link packed).
-                pack = self._packed_fetch_eligible(
+                # Host crops never cross the link, so nothing to pack.
+                pack = not host_crop and self._packed_fetch_eligible(
                     file_names, parser_handoff=device_handoff
                 )
 
@@ -949,17 +1018,29 @@ class Cropper:
                     if n_true < self.batch_size:
                         batch, _ = pad_batch_to(batch, self.batch_size)
                     with self.stats.stage("detect+crop", n_true):
-                        result = self._fused.process(
-                            batch,
-                            self.resize_size,
-                            return_device_crops=device_handoff,
-                            valid_n=n_true,
-                            pack_crops=pack,
-                            packed_hw=packed_hw,
-                        )
-                        crops, _lm, loc = result[:3]
-                        if device_handoff:
-                            dev_crops = result[3]
+                        if host_crop:
+                            lm, loc = self._fused.detect_only(
+                                batch, self.resize_size, valid_n=n_true
+                            )
+                            if len(lm):
+                                crops, loc = self._align_crop_filtered(
+                                    batch[:n_true], None, loc, lm,
+                                    prefer_native=True,
+                                )
+                            else:
+                                crops = lm.reshape(0, 1, 1, 3)
+                        else:
+                            result = self._fused.process(
+                                batch,
+                                self.resize_size,
+                                return_device_crops=device_handoff,
+                                valid_n=n_true,
+                                pack_crops=pack,
+                                packed_hw=packed_hw,
+                            )
+                            crops, _lm, loc = result[:3]
+                            if device_handoff:
+                                dev_crops = result[3]
                     if len(crops):
                         crops_parts.append(crops)
                         idx_parts.append(np.asarray(ids)[loc])

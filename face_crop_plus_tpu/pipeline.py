@@ -1131,3 +1131,59 @@ class FusedPipeline:
             sel[len(keep) :] = keep[-1]
         dev_compact = jnp.take(dev_crops, jnp.asarray(sel), axis=0)
         return crops[keep], face_lm[keep], indices, dev_compact
+
+    def detect_only(
+        self,
+        images: np.ndarray,
+        interim_size: tuple[int, int],
+        valid_n: int | None = None,
+    ):
+        """Detect-only dispatch for the host-crop execution mode.
+
+        Measured on a v5e (tools/warp_levers.py): XLA's gather-based warp
+        costs ~80 ms per 16×256² crops — more than the whole ResNet-50
+        detector at 1024² (~51 ms) — while the native AVX2 host warp does
+        the same crops in ~4 ms.  When nothing downstream consumes device
+        crops (no enhancement, no parser device-handoff, RGB sources), the
+        Cropper therefore runs this detect-only program and warps on the
+        host from the already-decoded source pixels: the device drops to
+        pure NN work and only landmarks/validity cross the link.
+
+        Returns:
+            Tuple of float32 landmarks (F, 5, 2) in source coordinates and
+            int64 face→image indices (F,), host-compacted.
+        """
+        n = images.shape[0]
+        caller_valid = n if valid_n is None else min(int(valid_n), n)
+        iw, ih = interim_size
+        if self.mesh is not None:
+            from .parallel.mesh import pad_to_multiple, shard_batch
+
+            padded, mesh_valid = pad_to_multiple(np.asarray(images), self.mesh.size)
+            valid_n = min(caller_valid, mesh_valid)
+            imgs = shard_batch(padded, self.mesh)
+        else:
+            valid_n = caller_valid
+            imgs = jnp.asarray(images)
+            if self.device is not None:
+                imgs = jax.device_put(imgs, self.device)
+
+        from .ops.anchors import anchor_grid as _grid
+
+        def dispatch(args):
+            out = self._run_detect(self.det.params, imgs, ih, iw, **args)
+            return out, out[-1]
+
+        face_lm, dev_valid, _caps = self.det.dispatch_with_growth(
+            dispatch, len(_grid(ih, iw)), valid_n
+        )
+        for arr in (face_lm, dev_valid):
+            try:
+                arr.copy_to_host_async()
+            except (AttributeError, RuntimeError):  # pragma: no cover
+                pass
+        k = dev_valid.shape[0] // imgs.shape[0]
+        valid = np.asarray(dev_valid)[: valid_n * k]
+        keep = np.nonzero(valid)[0]
+        lm = np.asarray(face_lm)[keep].astype(np.float32)
+        return lm, (keep // k).astype(np.int64)

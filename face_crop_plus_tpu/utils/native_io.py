@@ -450,6 +450,16 @@ def encode_jpeg_yuv420_batch(
     return [oks[i] == 0 for i in range(n)]
 
 
+def native_warp_available(border_mode: str = "constant") -> bool:
+    """True when :func:`warp_affine_batch_native` can serve this mode."""
+    lib = load_library()
+    return (
+        lib is not None
+        and bool(getattr(lib, "_has_native_warp", False))
+        and border_mode in _BORDER_ENUM
+    )
+
+
 def warp_affine_batch_native(
     images: np.ndarray,
     matrices: np.ndarray,
