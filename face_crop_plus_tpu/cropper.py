@@ -695,6 +695,14 @@ class Cropper:
 
         Both also require a non-CPU backend and the native decoder.
         ``FCPT_PACK_UPLOAD=1``/``0`` force/disable (default ``auto``).
+
+        Precedence vs host-crop (r4): when the host-crop mode will handle
+        this run's crops (no enhancer, no parser, host-crop enabled), RGB
+        decode wins in ``auto`` mode — skipping the device warp (~80 ms a
+        batch) and the crop fetch is worth far more than halving the
+        upload bytes, and the host warp needs the RGB pixels.  An explicit
+        ``FCPT_PACK_UPLOAD=1`` still forces packed sources (host-crop then
+        stands down for those batches).
         """
         fused_detect = (
             self._fused is not None
@@ -702,6 +710,14 @@ class Cropper:
             and self.det_model is not None
             and self.crop_source == "original"
         )
+        if (
+            fused_detect
+            and self.enh_model is None
+            and self.par_model is None
+            and os.environ.get("FCPT_PACK_UPLOAD", "auto") != "1"
+            and self._host_crop_enabled()
+        ):
+            return False
         pure_no_crop = (
             self.landmarks is None
             and self.det_model is None
@@ -1228,9 +1244,25 @@ class Cropper:
                 from .utils.batching import pad_batch_to
 
                 batch, _ = pad_batch_to(batch, self.batch_size)
-            crops, _lm, indices = self._fused.process(
-                batch, self.resize_size, valid_n=n_true
-            )
+            if self.enh_model is None and self._host_crop_enabled():
+                # Host-crop execution mode (see _host_crop_enabled): the
+                # serving API has the host sources in hand too.
+                lm, loc = self._fused.detect_only(
+                    batch, self.resize_size, valid_n=n_true
+                )
+                if len(lm):
+                    crops, indices = self._align_crop_filtered(
+                        batch[:n_true], None, loc, lm, prefer_native=True
+                    )
+                else:
+                    crops = np.zeros(
+                        (0,) + self.output_size[::-1] + (3,), np.uint8
+                    )
+                    indices = np.zeros((0,), np.int64)
+            else:
+                crops, _lm, indices = self._fused.process(
+                    batch, self.resize_size, valid_n=n_true
+                )
         else:
             # Staged detect → (gated enhance) → crop; one compiled detector
             # program for any mix of shapes (requests padded to batch_size).

@@ -113,6 +113,19 @@ def test_host_crop_gates(monkeypatch):
     assert not ci._host_crop_enabled()
 
 
+def test_process_images_host_crop_parity(rng, monkeypatch):
+    """The in-memory serving API takes the host-crop path too."""
+    imgs = [rng.integers(0, 255, (64, 60, 3), np.uint8) for _ in range(4)]
+    out = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("FCPT_HOST_CROP", flag)
+        crops, idx, _groups = _cropper(strategy="largest").process_images(imgs)
+        out[flag] = (crops, idx)
+    np.testing.assert_array_equal(out["1"][1], out["0"][1])
+    d = np.abs(out["1"][0].astype(int) - out["0"][0].astype(int))
+    assert d.max() <= 1
+
+
 def test_host_crop_with_parser_multigroup(tmp_path, rng, monkeypatch):
     """Parser without device handoff consumes host crops transparently."""
     src = _make_dir(tmp_path, rng, n=4)

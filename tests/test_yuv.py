@@ -452,7 +452,17 @@ class TestPackedUpload:
 
 
 class TestPackedFetchE2E:
-    """Detection-mode process_dir with packed fetches forced on (CPU)."""
+    """Detection-mode process_dir with packed fetches forced on (CPU).
+
+    Packed crop fetches exist to shrink the device→host link, so they
+    apply only on the device-warp path; the host-crop mode (r4) would
+    sidestep them entirely (host crops never cross the link) — pin it
+    off for every test in this class.
+    """
+
+    @pytest.fixture(autouse=True)
+    def _device_crop_path(self, monkeypatch):
+        monkeypatch.setenv("FCPT_HOST_CROP", "0")
 
     @pytest.fixture()
     def jpeg_dir(self, tmp_path):
