@@ -1034,7 +1034,8 @@ class Cropper:
                     if n_true < self.batch_size:
                         batch, _ = pad_batch_to(batch, self.batch_size)
                     with self.stats.stage("detect+crop", n_true):
-                        if host_crop:
+                        # packed groups carry no host RGB to warp from
+                        if host_crop and packed_hw is None:
                             lm, loc = self._fused.detect_only(
                                 batch, self.resize_size, valid_n=n_true
                             )
