@@ -486,18 +486,24 @@ class Cropper:
         """
         if self.mesh is not None or os.environ.get("FCPT_NATIVE_WARP") == "0":
             return None
-        # Pure-host pipelines (no detector/enhancer — the landmark-only and
-        # no-op modes) warp natively even with an accelerator attached: the
-        # sources are host arrays and the warp is trivial compute, so a
-        # device dispatch only adds an upload + fetch round trip (measured
-        # ~5x slower end-to-end on a tunneled chip).  Pipelines whose images
-        # already live on device (detection/enhancement active) warp on
-        # device; the native path positively requires the CPU platform
-        # (_resolve_device never yields None, but a hand-built Cropper
-        # might).
+        # Every caller of this helper holds *host* pixel arrays (the
+        # landmark-only/no-op sources, the staged paths' host-resized
+        # interim or enhancer output, the host-crop mode's originals) — a
+        # device dispatch always adds an upload + warp + fetch round trip,
+        # and the device warp's gather is itself slower than this kernel
+        # (see _host_crop_enabled).  So the native path applies whenever
+        # the host-crop policy is on; pure-host pipelines keep it even
+        # when the policy knob is off-by-config (crop_source="interim"
+        # etc. — their sources never touch the device at all).  The fused
+        # device-resident paths (parser handoff, gated SR, interim
+        # sampling) never reach this helper.
         pure_host = self.det_model is None and self.enh_model is None
-        if not force and not pure_host and (
-            self._device is None or self._device.platform != "cpu"
+        cpu_platform = self._device is not None and self._device.platform == "cpu"
+        if (
+            not force
+            and not pure_host
+            and not cpu_platform  # pre-r4 allowance: ~3x XLA:CPU's warp
+            and not self._host_crop_enabled()
         ):
             return None
         from .utils.native_io import warp_affine_batch_native
