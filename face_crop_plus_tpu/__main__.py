@@ -115,6 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "4:2:0 planes (half the device->host bytes; host "
                         "encodes via libjpeg's raw-data API). 'auto': on "
                         "for accelerator backends.")
+    p.add_argument("-hc", "--host-crop", type=str, default="auto",
+                   choices=["auto", "1", "0"],
+                   help="Warp crops on the host (native AVX2 kernel) when "
+                        "nothing downstream needs device-resident crops; "
+                        "the device then runs a detect-only program. "
+                        "'auto': on when the native kernel is available.")
     return p
 
 
@@ -161,7 +167,8 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
     # flag wins over a pre-set variable only when explicitly non-default,
     # mirroring the config<flag layering above).
     for flag, env in (("pack_upload", "FCPT_PACK_UPLOAD"),
-                      ("pack_fetch", "FCPT_PACK_FETCH")):
+                      ("pack_fetch", "FCPT_PACK_FETCH"),
+                      ("host_crop", "FCPT_HOST_CROP")):
         val = kwargs.pop(flag)
         if val != "auto":
             os.environ[env] = val

@@ -133,3 +133,18 @@ def test_pack_flags_set_env(monkeypatch):
     finally:
         os.environ.pop("FCPT_PACK_UPLOAD", None)
         os.environ.pop("FCPT_PACK_FETCH", None)
+
+
+def test_host_crop_flag_sets_env(monkeypatch):
+    import os
+
+    monkeypatch.delenv("FCPT_HOST_CROP", raising=False)
+    kw = parse_args(["-i", "x", "-d", "cpu"])
+    assert "host_crop" not in kw
+    assert "FCPT_HOST_CROP" not in os.environ
+    try:
+        kw = parse_args(["-i", "x", "-d", "cpu", "-hc", "0"])
+        assert "host_crop" not in kw
+        assert os.environ["FCPT_HOST_CROP"] == "0"
+    finally:
+        os.environ.pop("FCPT_HOST_CROP", None)
