@@ -702,13 +702,11 @@ class Cropper:
         Both also require a non-CPU backend and the native decoder.
         ``FCPT_PACK_UPLOAD=1``/``0`` force/disable (default ``auto``).
 
-        Precedence vs host-crop (r4): when the host-crop mode will handle
-        this run's crops (no enhancer, no parser, host-crop enabled), RGB
-        decode wins in ``auto`` mode — skipping the device warp (~80 ms a
-        batch) and the crop fetch is worth far more than halving the
-        upload bytes, and the host warp needs the RGB pixels.  An explicit
-        ``FCPT_PACK_UPLOAD=1`` still forces packed sources (host-crop then
-        stands down for those batches).
+        Composes with the host-crop mode (r4): packed sources keep the
+        halved upload while detection still reconstructs on device; the
+        host warp samples the bit-identical numpy-twin reconstruction of
+        the same stored planes, so crops match the device-warp packed
+        path within the usual bands.
         """
         fused_detect = (
             self._fused is not None
@@ -716,14 +714,6 @@ class Cropper:
             and self.det_model is not None
             and self.crop_source == "original"
         )
-        if (
-            fused_detect
-            and self.enh_model is None
-            and self.par_model is None
-            and os.environ.get("FCPT_PACK_UPLOAD", "auto") != "1"
-            and self._host_crop_enabled()
-        ):
-            return False
         pure_no_crop = (
             self.landmarks is None
             and self.det_model is None
@@ -1009,11 +999,12 @@ class Cropper:
                 # Host-crop execution mode: the device runs detect-only and
                 # the host warps from the already-decoded sources — the
                 # device warp's gather is slower than the whole detector
-                # (see _host_crop_enabled).  Needs host RGB sources and no
-                # device-side crop consumer.
+                # (see _host_crop_enabled).  Needs no device-side crop
+                # consumer; packed 4:2:0 sources compose (the host warps
+                # the numpy-twin reconstruction of the same stored planes
+                # the device detects on).
                 host_crop = (
                     self.enh_model is None
-                    and not want_packed
                     and not device_handoff
                     and self._host_crop_enabled()
                 )
@@ -1040,15 +1031,24 @@ class Cropper:
                     if n_true < self.batch_size:
                         batch, _ = pad_batch_to(batch, self.batch_size)
                     with self.stats.stage("detect+crop", n_true):
-                        # packed groups carry no host RGB to warp from
-                        if host_crop and packed_hw is None:
+                        if host_crop:
                             lm, loc = self._fused.detect_only(
-                                batch, self.resize_size, valid_n=n_true
+                                batch, self.resize_size, valid_n=n_true,
+                                packed_hw=packed_hw,
                             )
                             if len(lm):
+                                if packed_hw is not None:
+                                    # Warp sources: the numpy twin of the
+                                    # on-device RGB reconstruction.
+                                    from .ops.yuv import yuv420_to_rgb_np
+
+                                    src = yuv420_to_rgb_np(
+                                        batch[: n_true], *packed_hw
+                                    )
+                                else:
+                                    src = batch[:n_true]
                                 crops, loc = self._align_crop_filtered(
-                                    batch[:n_true], None, loc, lm,
-                                    prefer_native=True,
+                                    src, None, loc, lm, prefer_native=True
                                 )
                             else:
                                 crops = lm.reshape(0, 1, 1, 3)

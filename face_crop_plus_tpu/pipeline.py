@@ -1137,6 +1137,7 @@ class FusedPipeline:
         images: np.ndarray,
         interim_size: tuple[int, int],
         valid_n: int | None = None,
+        packed_hw: tuple[int, int] | None = None,
     ):
         """Detect-only dispatch for the host-crop execution mode.
 
@@ -1144,10 +1145,16 @@ class FusedPipeline:
         costs ~80 ms per 16×256² crops — more than the whole ResNet-50
         detector at 1024² (~51 ms) — while the native AVX2 host warp does
         the same crops in ~4 ms.  When nothing downstream consumes device
-        crops (no enhancement, no parser device-handoff, RGB sources), the
-        Cropper therefore runs this detect-only program and warps on the
-        host from the already-decoded source pixels: the device drops to
-        pure NN work and only landmarks/validity cross the link.
+        crops (no enhancement, no parser device-handoff), the Cropper
+        therefore runs this detect-only program and warps on the host:
+        the device drops to pure NN work and only landmarks/validity
+        cross the link.
+
+        With ``packed_hw``, ``images`` is a (N, L) batch of packed YCbCr
+        4:2:0 rows (1.5 B/px on the wire — the host-crop counterpart of
+        the packed detect paths): the RGB reconstruction for detection
+        runs on device inside the program, and the caller reconstructs
+        the warp sources on the host with the bit-identical numpy twin.
 
         Returns:
             Tuple of float32 landmarks (F, 5, 2) in source coordinates and
@@ -1171,6 +1178,14 @@ class FusedPipeline:
         from .ops.anchors import anchor_grid as _grid
 
         def dispatch(args):
+            if packed_hw is not None:
+                out = self._run_detect_packed(
+                    self.det.params, imgs, packed_hw[0], packed_hw[1],
+                    ih, iw, **args,
+                )
+                # drop the device RGB reconstruction (out[3]): detection
+                # already consumed it and the host warps its own twin
+                return out[:3], out[2]
             out = self._run_detect(self.det.params, imgs, ih, iw, **args)
             return out, out[-1]
 

@@ -113,6 +113,41 @@ def test_host_crop_gates(monkeypatch):
     assert not ci._host_crop_enabled()
 
 
+def test_host_crop_composes_with_packed_uploads(tmp_path, rng, monkeypatch):
+    """Packed 4:2:0 sources keep the halved upload under host-crop.
+
+    The host warps the numpy-twin reconstruction of the same stored
+    planes the device detects on, so the tree must match the packed
+    device-warp path within the native kernel's band (the twin is
+    bit-identical to the device reconstruction).
+    """
+    from face_crop_plus_tpu.utils.native_io import available
+
+    if not available():
+        pytest.skip("native decoder unavailable")
+    d = tmp_path / "src"
+    d.mkdir()
+    for i in range(6):
+        # smooth gradients survive 4:2:0 packing (plain JPEG writer)
+        base = np.zeros((64, 60, 3), np.uint8)
+        base[..., 0] = np.linspace(0, 255, 60, dtype=np.uint8)[None, :]
+        base[..., 1] = np.linspace(0, 255, 64, dtype=np.uint8)[:, None]
+        base[..., 2] = (i * 37) % 256
+        imwrite(str(d / f"{i}.jpg"), base)
+    monkeypatch.setenv("FCPT_PACK_UPLOAD", "1")
+    trees = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("FCPT_HOST_CROP", flag)
+        out = str(tmp_path / f"outpk{flag}")
+        c = _cropper()
+        c.process_dir(str(d), out, desc=None)
+        trees[flag] = _read_tree(out)
+    assert set(trees["1"]) == set(trees["0"]) and trees["1"]
+    for name, img in trees["1"].items():
+        d_ = np.abs(img.astype(int) - trees["0"][name].astype(int))
+        assert d_.max() <= 2, name  # warp band + JPEG re-encode rounding
+
+
 def test_process_images_host_crop_parity(rng, monkeypatch):
     """The in-memory serving API takes the host-crop path too."""
     imgs = [rng.integers(0, 255, (64, 60, 3), np.uint8) for _ in range(4)]
