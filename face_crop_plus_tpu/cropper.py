@@ -1038,13 +1038,21 @@ class Cropper:
                             )
                             if len(lm):
                                 if packed_hw is not None:
-                                    # Warp sources: the numpy twin of the
-                                    # on-device RGB reconstruction.
+                                    # Warp sources: the bit-identical twin
+                                    # of the on-device RGB reconstruction
+                                    # (threaded C++, numpy fallback).
                                     from .ops.yuv import yuv420_to_rgb_np
-
-                                    src = yuv420_to_rgb_np(
-                                        batch[: n_true], *packed_hw
+                                    from .utils.native_io import (
+                                        yuv420_to_rgb_native,
                                     )
+
+                                    src = yuv420_to_rgb_native(
+                                        batch[:n_true], *packed_hw
+                                    )
+                                    if src is None:
+                                        src = yuv420_to_rgb_np(
+                                            batch[:n_true], *packed_hw
+                                        )
                                 else:
                                     src = batch[:n_true]
                                 crops, loc = self._align_crop_filtered(

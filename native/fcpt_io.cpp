@@ -868,6 +868,82 @@ extern "C" {
 // as map_index above.  exact: 1 = float round-half-even (device-warp
 // parity), 0 = 10-bit fixed-point interior (within one level, faster).
 // c must be <= 8.  Returns 0 on success.
+// Packed planar YCbCr 4:2:0 rows (n, h*w + 2*(h/2)*(w/2)) -> uint8 RGB
+// (n, h, w, 3).  Bit-identical to the framework's float32 numpy/device
+// reconstruction (ops/yuv.py): chroma upsampled H-then-W with [0.75, 0.25]
+// edge-clamped taps, BT.601 inverse, round-half-even, clip.  fp-contract
+// is forced off for this function: an FMA would round differently from
+// the twin's separate float32 multiply+add.
+#pragma GCC push_options
+#pragma GCC optimize("fp-contract=off")
+int fcpt_yuv420_to_rgb(const unsigned char* packed, int n, int h, int w,
+                       int n_threads, unsigned char* out) {
+  if (h < 2 || w < 2 || (h & 1) || (w & 1)) return 1;
+  if (n <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  const int ch = h / 2, cw = w / 2;
+  const size_t ylen = static_cast<size_t>(h) * w;
+  const size_t clen = static_cast<size_t>(ch) * cw;
+  const size_t row_len = ylen + 2 * clen;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    // Per-row H-upsampled chroma (this output row's chroma line).
+    std::vector<float> ucb(cw), ucr(cw);
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      const unsigned char* yp = packed + static_cast<size_t>(i) * row_len;
+      const unsigned char* cbp = yp + ylen;
+      const unsigned char* crp = cbp + clen;
+      unsigned char* dst = out + static_cast<size_t>(i) * ylen * 3;
+      for (int r = 0; r < h; ++r) {
+        const int ci = r >> 1;
+        // H taps: even rows blend with the previous chroma row, odd rows
+        // with the next (edge-clamped) — the twin's axis(-2) pass.
+        const int other = (r & 1) ? (ci + 1 < ch ? ci + 1 : ci)
+                                  : (ci > 0 ? ci - 1 : ci);
+        const unsigned char* cb0 = cbp + static_cast<size_t>(ci) * cw;
+        const unsigned char* cb1 = cbp + static_cast<size_t>(other) * cw;
+        const unsigned char* cr0 = crp + static_cast<size_t>(ci) * cw;
+        const unsigned char* cr1 = crp + static_cast<size_t>(other) * cw;
+        for (int j = 0; j < cw; ++j) {
+          ucb[j] = 0.75f * static_cast<float>(cb0[j]) +
+                   0.25f * static_cast<float>(cb1[j]);
+          ucr[j] = 0.75f * static_cast<float>(cr0[j]) +
+                   0.25f * static_cast<float>(cr1[j]);
+        }
+        const unsigned char* yrow = yp + static_cast<size_t>(r) * w;
+        unsigned char* drow = dst + static_cast<size_t>(r) * w * 3;
+        for (int x = 0; x < w; ++x) {
+          const int cj = x >> 1;
+          const int jo = (x & 1) ? (cj + 1 < cw ? cj + 1 : cj)
+                                 : (cj > 0 ? cj - 1 : cj);
+          const float cbv = (0.75f * ucb[cj] + 0.25f * ucb[jo]) - 128.0f;
+          const float crv = (0.75f * ucr[cj] + 0.25f * ucr[jo]) - 128.0f;
+          const float yv = static_cast<float>(yrow[x]);
+          const float rv = yv + 1.402f * crv;
+          const float gv = yv - 0.344136286f * cbv - 0.714136286f * crv;
+          const float bv = yv + 1.772f * cbv;
+          const float vals[3] = {rv, gv, bv};
+          for (int k = 0; k < 3; ++k) {
+            float v = nearbyintf(vals[k]);
+            if (v < 0.0f) v = 0.0f;
+            if (v > 255.0f) v = 255.0f;
+            drow[3 * x + k] = static_cast<unsigned char>(v);
+          }
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  const int k = n_threads < n ? n_threads : n;
+  threads.reserve(k);
+  for (int t = 0; t < k; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return 0;
+}
+#pragma GCC pop_options
+
 int fcpt_warp_affine_u8(const unsigned char* images, int n, int h, int w,
                         int c, const float* inv_mats, const int* img_idx,
                         const int* windows, int f, int oh, int ow,

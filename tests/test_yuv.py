@@ -56,6 +56,34 @@ def test_pack_matches_numpy_twin(rng):
     assert np.array_equal(pj, pn)
 
 
+def test_native_reconstruct_matches_numpy_twin(rng):
+    """The C++ YUV420→RGB must be bit-identical to the numpy/device twin.
+
+    The host-crop packed path warps this reconstruction; any float-order
+    or fp-contract drift would silently widen the crop parity band.
+    """
+    from face_crop_plus_tpu.ops.yuv import rgb_to_yuv420_np, yuv420_to_rgb_np
+    from face_crop_plus_tpu.utils.native_io import (
+        available,
+        yuv420_to_rgb_native,
+    )
+
+    if not available():
+        pytest.skip("native library unavailable")
+    for h, w in [(64, 60), (2, 2), (34, 178)]:
+        imgs = rng.integers(0, 255, (5, h, w, 3), np.uint8)
+        packed = rgb_to_yuv420_np(imgs)
+        got = yuv420_to_rgb_native(packed, h, w)
+        if got is None:
+            pytest.skip("stale native binary without fcpt_yuv420_to_rgb")
+        np.testing.assert_array_equal(got, yuv420_to_rgb_np(packed, h, w))
+    # single-row squeeze contract + odd-dims rejection
+    one = rgb_to_yuv420_np(rng.integers(0, 255, (1, 64, 60, 3), np.uint8))[0]
+    got = yuv420_to_rgb_native(one, 64, 60)
+    assert got.shape == (64, 60, 3)
+    assert yuv420_to_rgb_native(one, 63, 60) is None
+
+
 def test_pack_plane_semantics(rng):
     # A constant-color image maps to constant Y/Cb/Cr at the BT.601 values.
     crop = np.full((1, 16, 16, 3), 0, np.uint8)
