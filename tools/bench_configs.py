@@ -51,6 +51,39 @@ def _median(xs):
     return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
 
+def _sr_device_profile(model, size: int) -> dict | None:
+    """Contention-aware profile of the exact SR program the bench runs."""
+    import bench
+    import jax
+    import jax.numpy as jnp
+
+    mode, strip_rows = model._mode_for_shape(size, size)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (1, size, size, 3), np.uint8))
+    if model.device is not None:
+        imgs = jax.device_put(imgs, model.device)
+
+    @jax.jit
+    def run(images):
+        return model._run_sr(images, mode, strip_rows)
+
+    def step(dep):
+        out = run(imgs + dep)
+        return (out.astype(jnp.int32).sum() % 2).astype(jnp.uint8)
+
+    try:
+        lowered = run.lower(imgs)
+    except Exception:  # pragma: no cover - backend-dependent API
+        lowered = None
+    return bench.profile_program(
+        f"rrdb_sr({mode}{'' if strip_rows is None else f',strips={strip_rows}'})@{size}²",
+        step,
+        size * size / 1e6,
+        "MP",
+        lowered=lowered,
+    )
+
+
 def run_enhance() -> dict:
     import jax
 
@@ -81,6 +114,7 @@ def run_enhance() -> dict:
         log(f"[enhance] pass {p}: {dt * 1e3:.0f} ms/img -> {mps_list[-1]} MP/s")
 
     value = _median(mps_list)
+    profile = _sr_device_profile(model, size)
     base = _ref_baseline().get("rrdb_sr", {}).get("mp_per_s")
 
     # Release the standalone model's device buffers before the e2e run
@@ -105,6 +139,7 @@ def run_enhance() -> dict:
         "passes": mps_list,
         "e2e_detect_gated_sr": e2e,
         "warmup_s": round(warmup_s, 1),
+        "device_profile": profile,
     }
 
 
@@ -224,6 +259,7 @@ def run_parse() -> dict:
             f"host-input {host_list[-1]} faces/s")
 
     value = _median(fps_list)
+    profile = _parse_device_profile(model, batch)
     base = _ref_baseline().get("bisenet_parse", {}).get("faces_per_s")
     return {
         "metric": "faces parsed/sec/chip (BiSeNet 512² + attr/mask grouping, "
@@ -237,7 +273,43 @@ def run_parse() -> dict:
         "standalone_host_input_faces_per_s": _median(host_list),
         "e2e_process_dir_faces_per_s": _parse_e2e(),
         "warmup_s": round(warmup_s, 1),
+        "device_profile": profile,
     }
+
+
+def _parse_device_profile(model, batch: int) -> dict | None:
+    """Contention-aware profile of the BiSeNet parse program (bit-packed
+    masks variant — the one the fused pipeline dispatches)."""
+    import bench
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (batch, 256, 256, 3), np.uint8))
+    if model.device is not None:
+        imgs = jax.device_put(imgs, model.device)
+    mean = tuple(float(v) for v in model.mean)
+    std = tuple(float(v) for v in model.std)
+    mask_attrs = tuple(tuple(v) for v in (model.mask_groups or {"skin": [1]}).values())
+
+    @jax.jit
+    def run(images):
+        return model._parse_packed(
+            model.params, images, 256, 256, mean, std, mask_attrs, None
+        )
+
+    def step(dep):
+        _packed, counts = run(imgs + dep)
+        return (counts.sum() % 2).astype(jnp.uint8)
+
+    try:
+        lowered = run.lower(imgs)
+    except Exception:  # pragma: no cover - backend-dependent API
+        lowered = None
+    return bench.profile_program(
+        f"bisenet_parse_packed@512²(batch={batch})", step, batch, "faces",
+        lowered=lowered,
+    )
 
 
 def _parse_e2e() -> float | None:
@@ -331,6 +403,7 @@ def run_scale() -> dict:
         shutil.rmtree(d, ignore_errors=True)
 
     value = round(faces / dt, 2)
+    profile = bench.device_profile(cropper)
     base = _ref_baseline().get("detect", {}).get("faces_per_s")
     return {
         "metric": f"faces cropped/sec/chip (e2e {n}-image directory, "
@@ -342,6 +415,69 @@ def run_scale() -> dict:
         "method": f"single e2e pass over {n} images",
         "elapsed_s": round(dt, 1),
         "warmup_s": round(warmup_s, 1),
+        "device_profile": profile,
+    }
+
+
+def run_serving() -> dict:
+    """Serving-path bench (VERDICT r4 #7): ``Cropper.process_images`` on a
+    resident in-memory batch — no filesystem, no codec.  This is the API a
+    serving deployment calls per request batch; the reference has no
+    counterpart (its only entry point is the directory pipeline), so
+    ``vs_baseline`` uses the reference-CPU detect pipeline denominator,
+    labeled as such.
+    """
+    import bench
+    import jax
+
+    platforms = {d.platform for d in jax.devices()}
+    accel = "tpu" if "tpu" in platforms else sorted(platforms)[0]
+    passes = int(os.environ.get("FCPT_BENCH_PASSES", "5"))
+    calls = int(os.environ.get("FCPT_BENCH_SERVING_CALLS", "8"))
+
+    cropper = bench.build_cropper(accel)
+    rng = np.random.default_rng(0)
+    # One resident request batch at the Cropper's device batch size, the
+    # shape a serving frontend would pin.
+    batch = rng.integers(
+        0, 255, (bench.BATCH,) + bench.SRC_HW + (3,), np.uint8
+    )
+
+    t0 = time.perf_counter()
+    crops, indices, _groups = cropper.process_images(batch)
+    warmup_s = time.perf_counter() - t0
+    log(f"[serving] compile+first: {warmup_s:.1f}s ({len(crops)} crops/call)")
+
+    fps_list = []
+    for p in range(passes):
+        total = 0
+        t0 = time.perf_counter()
+        for _ in range(calls):
+            crops, _idx, _g = cropper.process_images(batch)
+            total += len(crops)
+        dt = time.perf_counter() - t0
+        fps_list.append(round(total / dt, 1))
+        log(f"[serving] pass {p}: {total} crops in {dt:.2f}s "
+            f"-> {fps_list[-1]} crops/s")
+
+    value = _median(fps_list)
+    profile = bench.device_profile(cropper)
+    base = _ref_baseline().get("detect", {}).get("faces_per_s")
+    return {
+        "metric": "crops/sec/chip (in-memory serving API process_images, "
+                  f"resident batch of {bench.BATCH})",
+        "value": value,
+        "unit": "crops/sec/chip",
+        "vs_baseline": round(value / base, 1) if base else None,
+        "baseline": {
+            "reference_cpu_faces_per_s": base,
+            "note": "reference has no in-memory API; denominator is its "
+                    "directory detect pipeline on this host's CPU",
+        },
+        "method": f"median of {passes} passes x {calls} calls",
+        "passes": fps_list,
+        "warmup_s": round(warmup_s, 1),
+        "device_profile": profile,
     }
 
 
@@ -352,6 +488,8 @@ def run_mode(mode: str) -> dict:
         return run_parse()
     if mode == "scale":
         return run_scale()
+    if mode == "serving":
+        return run_serving()
     raise SystemExit(f"unknown FCPT_BENCH_MODE: {mode}")
 
 
