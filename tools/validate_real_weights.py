@@ -105,6 +105,15 @@ def main():
     ap.add_argument("--demo-dir", default=DEMO)
     ap.add_argument("--resize", type=int, default=1024,
                     help="detector resolution (lower it for CPU smoke runs)")
+    ap.add_argument("--det-threshold", type=float, default=0.6,
+                    help="detector confidence threshold (the registered gate "
+                         "uses 0.6; smoke runs with synthetic weights pick a "
+                         "flip-proof value)")
+    ap.add_argument("--output-size", type=int, default=256,
+                    help="crop output size (lower it for CPU smoke runs)")
+    ap.add_argument("--label-size", type=int, default=512,
+                    help="BiSeNet label-agreement resolution (512 = the "
+                         "production inference size; lower for smoke runs)")
     ap.add_argument(
         "--trust-first-use", action="store_true",
         help="record (rather than reject) checksums the manifest has not "
@@ -192,14 +201,15 @@ def main():
     # Label-level agreement at the production 512² inference size (argmax
     # can flip on logit near-ties even when forwards agree tightly; the
     # registered tolerance bounds how often).
-    xi = np.random.default_rng(2).uniform(0, 1, (1, 512, 512, 3)).astype(np.float32)
+    ls = args.label_size
+    xi = np.random.default_rng(2).uniform(0, 1, (1, ls, ls, 3)).astype(np.float32)
     with torch.no_grad():
         ref_labels = bm(torch.from_numpy(xi.transpose(0, 3, 1, 2))).argmax(1).numpy()
     got_labels = np.asarray(
         bisenet_forward(pb, jnp.asarray(xi)).argmax(-1)
     )
     agree = (got_labels == ref_labels).mean()
-    print(f"bise 512² label agreement vs reference: {agree:.4f}")
+    print(f"bise {ls}² label agreement vs reference: {agree:.4f}")
     if agree < tol["parse_label_agreement_min"]:
         fail("BiSeNet label agreement below the registered tolerance")
 
@@ -208,9 +218,9 @@ def main():
 
     out_dir = os.path.join(args.out, "crops")
     c = Cropper(
-        output_size=256,
+        output_size=args.output_size,
         resize_size=(args.resize, args.resize),
-        det_threshold=0.6,
+        det_threshold=args.det_threshold,
         enh_threshold=None,
         weights_dir=args.weights_dir,
     )
@@ -225,7 +235,7 @@ def main():
     # real weights fully determine the forward either way.
     from face_crop_plus.models.retinaface import RetinaFace as RefRF
 
-    rf = RefRF(strategy="all").eval()
+    rf = RefRF(strategy="all", vis=args.det_threshold).eval()
     if "retinaface" in pth_paths:
         rf.load_state_dict(torch.load(pth_paths["retinaface"], map_location="cpu"))
     else:
@@ -286,9 +296,9 @@ def main():
         ref_out = os.path.join(args.out, "ref_crops")
         shutil.rmtree(ref_out, ignore_errors=True)
         rc = RefCropper(
-            output_size=256,
+            output_size=args.output_size,
             resize_size=(args.resize, args.resize),
-            det_threshold=0.6,
+            det_threshold=args.det_threshold,
             enh_threshold=None,
             device="cpu",
         )
@@ -297,9 +307,9 @@ def main():
         our_out = os.path.join(args.out, "crops_interim")
         shutil.rmtree(our_out, ignore_errors=True)
         ci = Cropper(
-            output_size=256,
+            output_size=args.output_size,
             resize_size=(args.resize, args.resize),
-            det_threshold=0.6,
+            det_threshold=args.det_threshold,
             enh_threshold=None,
             weights_dir=args.weights_dir,
             crop_source="interim",
