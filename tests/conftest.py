@@ -26,8 +26,52 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import re  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Test tiering (VERDICT r4 #6): the default run is the QUICK tier
+# (`-m "not slow"` via pyproject addopts, <5 min on 1 vCPU); heavy e2e /
+# crossval / mesh tests are auto-marked `slow` from tests/slow_manifest.txt
+# (plus any explicit @pytest.mark.slow).  Full suite:
+#     pytest -m "slow or not slow"
+# ---------------------------------------------------------------------------
+
+_MANIFEST = os.path.join(os.path.dirname(__file__), "slow_manifest.txt")
+
+
+def _slow_nodeids() -> set[str]:
+    try:
+        with open(_MANIFEST) as f:
+            return {
+                line.strip()
+                for line in f
+                if line.strip() and not line.startswith("#")
+            }
+    except OSError:
+        return set()
+
+
+def pytest_collection_modifyitems(config, items):
+    manifest = _slow_nodeids()
+    matched = set()
+    for item in items:
+        base = re.sub(r"\[.*\]$", "", item.nodeid)
+        if base in manifest:
+            item.add_marker(pytest.mark.slow)
+            matched.add(base)
+    stale = manifest - matched
+    # Only warn when the whole suite was collected: a single-file run
+    # legitimately misses most manifest entries.
+    if stale and len(matched) > len(manifest) // 2:
+        import warnings
+
+        warnings.warn(
+            "slow_manifest.txt entries not collected (renamed/removed "
+            f"tests? update the manifest): {sorted(stale)[:5]}..."
+        )
 
 
 @pytest.fixture(scope="session")

@@ -88,21 +88,49 @@ def test_native_hostile_inputs_defined(rng):
     assert (out[1] == 0).all()
 
 
-def test_native_warp_gate_pure_host(rng):
-    """Model-free pipelines (landmark-only/no-op) warp natively even when
-    the resolved device is an accelerator; model pipelines do not."""
+def test_native_warp_gate_pure_host(rng, monkeypatch):
+    """Gate contract (r4 host-crop mode): callers of this helper always hold
+    host pixel arrays, so the native warp applies whenever the host-crop
+    policy is on — even with models present (`_host_crop_enabled`); it
+    stands down when the policy is forced off or the crops must stay
+    device-resident (`crop_source="interim"`)."""
     from types import SimpleNamespace
 
     from face_crop_plus_tpu import Cropper
 
+    monkeypatch.delenv("FCPT_HOST_CROP", raising=False)
     c = Cropper(output_size=16, det_threshold=None, enh_threshold=None,
                 device="cpu")
     c._device = SimpleNamespace(platform="tpu")
     imgs = rng.integers(0, 255, (1, 32, 32, 3), dtype=np.uint8)
     out = c._native_warp(imgs, _mats(rng, 2), np.zeros(2, np.int32), None)
     assert out is not None and out.shape == (2, 16, 16, 3)
-    c.det_model = object()  # images would live on device -> device warp
+
+    # Model present + host-crop policy on (auto, native kernel available):
+    # detection-mode crops are host work too (STATUS r4 #12).
+    c.det_model = object()
+    from face_crop_plus_tpu.utils.native_io import native_warp_available
+
+    if native_warp_available(c.padding):
+        out = c._native_warp(imgs, _mats(rng, 2), np.zeros(2, np.int32), None)
+        assert out is not None and out.shape == (2, 16, 16, 3)
+
+    # Forced off -> device warp (None) for model pipelines on accelerators.
+    monkeypatch.setenv("FCPT_HOST_CROP", "0")
     assert c._native_warp(imgs, _mats(rng, 2), np.zeros(2, np.int32), None) is None
+    monkeypatch.delenv("FCPT_HOST_CROP")
+
+    # Device-resident interim -> device warp regardless of the policy.
+    c.crop_source = "interim"
+    assert c._native_warp(imgs, _mats(rng, 2), np.zeros(2, np.int32), None) is None
+    c.crop_source = "original"
+
+    # Pure-host pipelines keep the native path even when the policy knob
+    # is off (their sources never touch the device at all).
+    c.det_model = None
+    monkeypatch.setenv("FCPT_HOST_CROP", "0")
+    out = c._native_warp(imgs, _mats(rng, 2), np.zeros(2, np.int32), None)
+    assert out is not None
 
 
 def test_cropper_native_vs_xla_host_path(tmp_path, rng, monkeypatch):
