@@ -216,6 +216,14 @@ class Cropper:
         enable_compilation_cache()
 
         self._device = _resolve_device(self.device)
+
+        # Remote accelerators pay a large one-time per-process session
+        # establishment cost on the first output fetch; overlap it with
+        # model init / tracing / first decode (see utils/prewarm.py).
+        from .utils.prewarm import start as _prewarm_start
+
+        _prewarm_start(self._device)
+
         self._init_models()
         self._init_landmarks_target()
         self._init_fused()
