@@ -613,8 +613,10 @@ def main():
 
     # Start session establishment NOW so it overlaps dataset creation,
     # baseline loading and Cropper construction (utils/prewarm.py; the
-    # Cropper also starts it, but the earlier the better).
-    if accel != "cpu":
+    # Cropper also starts it, but the earlier the better).  Landmarks mode
+    # is pure-host: no program output is ever fetched, so establishing a
+    # session would only contend with other users of the shared chip.
+    if accel != "cpu" and MODE != "landmarks":
         from face_crop_plus_tpu.utils.prewarm import start as _prewarm_start
 
         _prewarm_start(next(d for d in devices if d.platform == accel))

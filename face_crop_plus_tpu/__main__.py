@@ -186,6 +186,22 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
 def main(argv: list[str] | None = None):
     kwargs = parse_args(argv)
 
+    # An explicit CPU request should not initialize accelerator backends:
+    # jax.devices("cpu") still brings up every platform in the active list,
+    # and on remote/tunneled accelerators that first init can cost minutes
+    # (or fail outright and take the run down with it).  `-d cpu` is an
+    # unambiguous statement of intent, and the CLI process is
+    # single-purpose, so pinning the platform list is safe — including
+    # over an ambient JAX_PLATFORMS from site configuration.
+    if kwargs.get("device") == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     # Normalize away trailing separators: '<dir>/' + '_temp' would otherwise
     # nest the scratch dir INSIDE the input dir (and then appear in its own
     # file listing).

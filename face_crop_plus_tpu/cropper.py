@@ -220,9 +220,18 @@ class Cropper:
         # Remote accelerators pay a large one-time per-process session
         # establishment cost on the first output fetch; overlap it with
         # model init / tracing / first decode (see utils/prewarm.py).
-        from .utils.prewarm import start as _prewarm_start
+        # Pure-host configurations (no detector/enhancer/parser) never
+        # fetch a program output, so establishing a session would be pure
+        # waste — and a fetch still in flight at process exit is unsafe.
+        if (
+            self.det_threshold is not None
+            or self.enh_threshold is not None
+            or self.attr_groups is not None
+            or self.mask_groups is not None
+        ):
+            from .utils.prewarm import start as _prewarm_start
 
-        _prewarm_start(self._device)
+            _prewarm_start(self._device)
 
         self._init_models()
         self._init_landmarks_target()

@@ -25,6 +25,7 @@ session step) — this is pure TPU-environment debt (VERDICT r4 #2).
 
 from __future__ import annotations
 
+import atexit
 import os
 import threading
 import time
@@ -32,18 +33,35 @@ import time
 _LOCK = threading.Lock()
 _STATE: dict[str, dict] = {}  # device key -> {"thread", "seconds", "t0"}
 
+# Set at interpreter shutdown (and testable directly): the worker polls it
+# so it is never parked inside a blocking runtime call when the process
+# exits.  A daemon thread stuck in the backend's blocking fetch RPC at
+# teardown aborts the whole process (``terminate called after throwing …
+# FATAL: exception not rethrown``, SIGABRT) — observed on pure-host runs
+# that finish before establishment does.  ``copy_to_host_async`` forces
+# the same server-side establishment without pinning the thread (measured:
+# is_ready() flips after the 30–400 s establishment window and the next
+# blocking fetch costs ~0 s), and between polls the thread sits in
+# ``time.sleep``, which interpreter finalization freezes safely.
+_STOP = threading.Event()
+atexit.register(_STOP.set)
+
 
 def _run(dev, st: dict) -> None:
     try:
         import jax
         import jax.numpy as jnp
-        import numpy as np
 
         x = jax.device_put(jnp.arange(8, dtype=jnp.float32), dev)
-        # The host fetch (np.asarray) is what forces establishment on this
-        # backend; block_until_ready is not a true barrier here.
-        np.asarray(jax.jit(lambda v: v + 1.0)(x))
-        st["seconds"] = time.perf_counter() - st["t0"]
+        a = jax.jit(lambda v: v + 1.0)(x)
+        a.copy_to_host_async()
+        while not _STOP.is_set():
+            if a.is_ready():
+                st["seconds"] = time.perf_counter() - st["t0"]
+                return
+            time.sleep(0.2)
+        # Interrupted by shutdown before establishment finished.
+        st["seconds"] = -1.0
     except Exception:  # never let a failed pre-warm break construction
         st["seconds"] = -1.0
 

@@ -148,3 +148,22 @@ def test_host_crop_flag_sets_env(monkeypatch):
         assert os.environ["FCPT_HOST_CROP"] == "0"
     finally:
         os.environ.pop("FCPT_HOST_CROP", None)
+
+
+def test_explicit_cpu_pins_platform(tmp_path, rng, monkeypatch):
+    """`-d cpu` must pin JAX_PLATFORMS so accelerator backends (minutes of
+    tunnel init on remote TPUs) are never touched — even over an ambient
+    site-config value."""
+    monkeypatch.setenv("JAX_PLATFORMS", "bogus-accel,cpu")
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    imwrite(str(imgs / "a.jpg"), img)
+    lm = tmp_path / "lm.txt"
+    pts = "20 20 44 20 32 32 22 44 42 44"
+    lm.write_text(f"a.jpg {pts}\n")
+    out = tmp_path / "out"
+    main(["-i", str(imgs), "-o", str(out), "-l", str(lm),
+          "-dt", "-1", "-et", "-1", "-d", "cpu"])
+    assert os.environ["JAX_PLATFORMS"] == "cpu"
+    assert sorted(os.listdir(out)) == ["a.jpg"]
