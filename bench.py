@@ -662,6 +662,16 @@ def main():
     except Exception as e:
         log(f"reference baseline unavailable: {e}")
 
+    # Host-slowdown fingerprint vs the baseline-capture window (the host
+    # analog of the device contention index; see bench_configs).
+    host_cont = None
+    try:
+        from tools.bench_configs import host_contention_block
+
+        host_cont = host_contention_block(ref_data if ref_cpu else None)
+    except Exception as e:
+        log(f"host contention probe unavailable: {e}")
+
     base = ref_cpu or same_pipeline_cpu
     metric = (
         "faces cropped/sec/chip (e2e decode+detect@1024+align+crop+encode)"
@@ -692,6 +702,9 @@ def main():
                 "backend_compile_s": round(COMPILE_STATS["backend_s"], 1),
                 "device_profile": profile,
                 **({"host_profile": host_prof} if host_prof else {}),
+                **(
+                    {"host_contention": host_cont} if host_cont else {}
+                ),
                 **({"backend_error": backend_error} if backend_error else {}),
             }
         )

@@ -21,6 +21,7 @@ Usage::
 from __future__ import annotations
 
 import contextlib
+import os
 import threading
 import time
 from collections import defaultdict
@@ -79,3 +80,63 @@ def trace(log_dir: str | None):
 
     with jax.profiler.trace(log_dir):
         yield
+
+
+def host_speed_probe(reps: int = 120, _cache: dict = {}) -> float | None:
+    """Fixed-work host throughput probe: codec round trips per second.
+
+    Decodes + re-encodes one synthetic CelebA-sized JPEG ``reps`` times with
+    the production codec path (utils.io imread/imwrite, i.e. the native
+    libjpeg build when available).  The absolute value is meaningless; the
+    *ratio* between two runs of the probe is the host-slowdown between
+    them.  Host-side benchmarks capture it so a reader can separate "the
+    pipeline got slower" from "the shared host was loaded" — the host
+    analog of the device profile's chip-contention index (the box this
+    framework is developed on is a time-shared 1-vCPU VM whose effective
+    speed varies by the hour).
+
+    Returns round trips/s, or None when the probe cannot run.  The probe
+    image is cached per-process so repeated calls measure only codec work.
+    """
+    try:
+        import tempfile
+
+        import numpy as np
+
+        from .io import imread_rgb, imwrite
+
+        if "path" not in _cache:
+            rng = np.random.default_rng(0)
+            # Natural-image-like content (JPEG cost depends on entropy):
+            # smooth low-frequency base + mild noise, CelebA-sized.
+            y, x = np.mgrid[0:218, 0:178].astype(np.float32)
+            base = (
+                128
+                + 60 * np.sin(x / 23.0)[..., None]
+                + 50 * np.cos(y / 31.0)[..., None]
+                + rng.normal(0, 12, (218, 178, 3))
+            )
+            img = np.clip(base, 0, 255).astype(np.uint8)
+            path = os.path.join(
+                tempfile.gettempdir(), "fcpt_host_probe.jpg"
+            )
+            imwrite(path, img)
+            _cache["path"] = path
+        path = _cache["path"]
+        out = path + ".rt.jpg"
+        imwrite(out, imread_rgb(path))  # warm
+        rates = []
+        for _ in range(3):  # median of 3 groups rejects scheduler blips
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                imwrite(out, imread_rgb(path))
+            dt = time.perf_counter() - t0
+            if dt > 0:
+                rates.append(reps / dt)
+        try:
+            os.remove(out)
+        except OSError:
+            pass
+        return float(np.median(rates)) if rates else None
+    except Exception:  # pragma: no cover - environment-dependent
+        return None

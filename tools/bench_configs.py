@@ -51,6 +51,33 @@ def _median(xs):
     return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
 
+def host_contention_block(ref_data: dict | None = None) -> dict | None:
+    """Host-slowdown fingerprint for the artifact (host analog of the
+    device contention index).
+
+    Re-runs the fixed-work codec probe and reports it next to the value
+    captured when the reference-CPU denominators were measured, so a
+    ``vs_baseline`` computed on a loaded shared host reads as contention
+    (host_slowdown > 1) rather than as a pipeline regression.
+    """
+    try:
+        from face_crop_plus_tpu.utils.profiling import host_speed_probe
+
+        now = host_speed_probe()
+        if now is None:
+            return None
+        if ref_data is None:
+            ref_data = _ref_baseline()
+        cap = (ref_data or {}).get("host_probe_rtps")
+        blk = {"probe_rtps_now": round(now, 1)}
+        if cap:
+            blk["probe_rtps_at_baseline_capture"] = round(cap, 1)
+            blk["host_slowdown"] = round(cap / now, 2)
+        return blk
+    except Exception:  # pragma: no cover - environment-dependent
+        return None
+
+
 def _sr_device_profile(model, size: int) -> dict | None:
     """Contention-aware profile of the exact SR program the bench runs."""
     import bench
@@ -140,6 +167,7 @@ def run_enhance() -> dict:
         "e2e_detect_gated_sr": e2e,
         "warmup_s": round(warmup_s, 1),
         "device_profile": profile,
+        "host_contention": host_contention_block(),
     }
 
 
@@ -274,6 +302,7 @@ def run_parse() -> dict:
         "e2e_process_dir_faces_per_s": _parse_e2e(),
         "warmup_s": round(warmup_s, 1),
         "device_profile": profile,
+        "host_contention": host_contention_block(),
     }
 
 
@@ -416,6 +445,7 @@ def run_scale() -> dict:
         "elapsed_s": round(dt, 1),
         "warmup_s": round(warmup_s, 1),
         "device_profile": profile,
+        "host_contention": host_contention_block(),
     }
 
 
@@ -478,6 +508,7 @@ def run_serving() -> dict:
         "passes": fps_list,
         "warmup_s": round(warmup_s, 1),
         "device_profile": profile,
+        "host_contention": host_contention_block(),
     }
 
 

@@ -239,10 +239,17 @@ def run(force: bool = False) -> dict:
     cached = load_cached()
     if cached is not None and not force:
         return cached
+    from face_crop_plus_tpu.utils.profiling import host_speed_probe
+
     data = {
         "version": VERSION,
         "host": os.uname().nodename,
         "cpus": os.cpu_count(),
+        # Fixed-work host fingerprint at capture time: later benchmark runs
+        # re-run the probe and report the ratio, so a vs_baseline computed
+        # against these cached denominators on a *loaded* shared host is
+        # readable as contention rather than regression.
+        "host_probe_rtps": host_speed_probe(),
         "landmarks_e2e": measure_landmarks_e2e(),
         "detect": measure_detect(),
         "rrdb_sr": measure_rrdb(),
