@@ -43,6 +43,44 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def make_image_batch(n: int) -> np.ndarray:
+    """(n, *SRC_HW, 3) uint8 batch of CelebA-sized face photos in memory.
+
+    Demo-derived, same sources as :func:`make_dataset` — serving-path
+    benches must feed real faces (a noise batch detects nothing under
+    real weights and would measure an empty pipeline).
+    """
+    from face_crop_plus_tpu.utils.io import imread_rgb
+
+    base = []
+    if os.path.isdir(DEMO_DIR):
+        for f in sorted(os.listdir(DEMO_DIR)):
+            img = imread_rgb(os.path.join(DEMO_DIR, f))
+            if img is not None:
+                try:
+                    import cv2
+
+                    img = cv2.resize(
+                        img, (SRC_HW[1], SRC_HW[0]), interpolation=cv2.INTER_AREA
+                    )
+                except Exception:  # pragma: no cover
+                    from PIL import Image
+
+                    img = np.asarray(
+                        Image.fromarray(img).resize(
+                            (SRC_HW[1], SRC_HW[0]), Image.BOX
+                        )
+                    )
+                base.append(img)
+    if not base:  # pragma: no cover - demo images always ship
+        rng = np.random.default_rng(0)
+        base = [
+            rng.integers(0, 255, SRC_HW + (3,), dtype=np.uint8)
+            for _ in range(8)
+        ]
+    return np.stack([base[i % len(base)] for i in range(n)])
+
+
 def make_dataset(n: int) -> str:
     """Creates a temp directory with n CelebA-sized JPEGs."""
     from face_crop_plus_tpu.utils.io import imread_rgb, imwrite
@@ -185,8 +223,15 @@ def measure(device_str: str, n_images: int) -> float:
             "cropper_init_s": round(init_s, 1),
             "backend_compile_s": round(COMPILE_STATS["backend_s"], 1),
             "first_pass_s": round(warmup_s, 1),
+            # prewarm reports -1.0 for "errored or interrupted" — that is
+            # a status, not a duration; artifacts carry null + a flag.
             "session_establishment_s": (
-                round(est, 1) if est is not None else None
+                round(est, 1) if est is not None and est >= 0 else None
+            ),
+            **(
+                {"session_establishment_failed": True}
+                if est is not None and est < 0
+                else {}
             ),
             "note": "establishment overlaps init/compile via utils/prewarm",
         }
@@ -255,15 +300,23 @@ def peak_flops_per_s() -> float | None:
     return peaks[0] if peaks else None
 
 
-def _measure_rtt_ms(samples: int = 5) -> float:
+def _measure_rtt_ms(samples: int = 5, device=None) -> float:
     """Median dispatch+fetch round-trip of a trivial program (fresh tiny
     output buffer each time — the fixed per-fetch cost of this tunneled
-    environment, ~10 ms here vs ~0 on a directly-attached chip)."""
+    environment, ~10 ms here vs ~0 on a directly-attached chip).
+
+    ``device`` pins the probe to the chip the profiled program runs on —
+    on a multi-device host the default device may be a different chip
+    whose RTT/contention say nothing about the program's.
+    """
     import jax
     import jax.numpy as jnp
 
     tick = jax.jit(lambda i: i + 1)
-    i = tick(jnp.int32(0))
+    seed = jnp.int32(0)
+    if device is not None:
+        seed = jax.device_put(seed, device)
+    i = tick(seed)
     int(i)  # warm (compile + first fetch)
     times = []
     for _ in range(samples):
@@ -275,7 +328,7 @@ def _measure_rtt_ms(samples: int = 5) -> float:
     return times[len(times) // 2]
 
 
-def _make_contention_probe():
+def _make_contention_probe(device=None):
     """Fixed-work compute probe: a chained 2048³ bf16 matmul loop.
 
     ~4.4 TF per call — compute-dominated (tens of ms) so the tunnel RTT
@@ -289,6 +342,8 @@ def _make_contention_probe():
 
     rng = np.random.default_rng(7)
     a = jnp.asarray(rng.standard_normal((2048, 2048)), jnp.bfloat16)
+    if device is not None:
+        a = jax.device_put(a, device)
     steps = 256
 
     @jax.jit
@@ -307,6 +362,7 @@ def profile_program(
     lowered=None,
     groups: int | None = None,
     chain: int | None = None,
+    device=None,
 ) -> dict | None:
     """Contention-aware device profile of one compiled program.
 
@@ -346,12 +402,14 @@ def profile_program(
         except Exception as e:  # pragma: no cover - backend-dependent API
             log(f"cost_analysis unavailable: {e}")
 
-    rtt_ms = _measure_rtt_ms()
-    probe_step, probe_flops = _make_contention_probe()
+    rtt_ms = _measure_rtt_ms(device=device)
+    probe_step, probe_flops = _make_contention_probe(device=device)
 
     import jax.numpy as jnp
 
     x = jnp.zeros((2048, 2048), jnp.bfloat16)
+    if device is not None:
+        x = jax.device_put(x, device)
     x = probe_step(x)
     np.asarray(x[0, 0])  # warm probe
     dep = step(jnp.uint8(0))
@@ -366,17 +424,20 @@ def profile_program(
         for _ in range(chain):
             dep = step(dep)
         np.asarray(dep)
-        prog_ms.append(max(0.0, (time.perf_counter() - t0) * 1e3 - rtt_ms) / chain)
+        # Same 0.1 ms floor as the probe: the rtt correction is a single
+        # pre-run median and on a contended tunnel can exceed a light
+        # program's whole group elapsed — a 0.0 here would zero exec_min
+        # and blow up every per-time derived stat below.
+        prog_ms.append(
+            max(0.1, (time.perf_counter() - t0) * 1e3 - rtt_ms) / chain
+        )
 
         t0 = time.perf_counter()
         x = probe_step(x)
         np.asarray(x[0, 0])
         probe_ms.append(max(0.1, (time.perf_counter() - t0) * 1e3 - rtt_ms))
 
-    def med(xs):
-        s = sorted(xs)
-        n = len(s)
-        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    from statistics import median as med
 
     exec_min, exec_med = min(prog_ms) / 1e3, med(prog_ms) / 1e3
     peaks = _chip_peaks()
@@ -473,6 +534,7 @@ def device_profile(cropper) -> dict | None:
         BATCH,
         "images",
         lowered=lowered,
+        device=fp.device,
     )
     if prof is not None:
         # Back-compat alias used by earlier rounds' tables.

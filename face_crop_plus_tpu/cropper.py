@@ -223,8 +223,10 @@ class Cropper:
         # Pure-host configurations (no detector/enhancer/parser) never
         # fetch a program output, so establishing a session would be pure
         # waste — and a fetch still in flight at process exit is unsafe.
+        # Mirrors _init_models exactly: precomputed landmarks suppress the
+        # detector even when det_threshold keeps its default.
         if (
-            self.det_threshold is not None
+            (self.det_threshold is not None and self.landmarks is None)
             or self.enh_threshold is not None
             or self.attr_groups is not None
             or self.mask_groups is not None

@@ -104,3 +104,19 @@ def test_pure_host_cropper_never_starts_prewarm(monkeypatch):
 
     Cropper(det_threshold=0.6, enh_threshold=None, device="cpu")
     assert len(calls) == 1
+
+
+def test_landmark_mode_with_default_det_threshold_does_not_prewarm(
+    tmp_path, monkeypatch
+):
+    """Precomputed landmarks suppress the detector even at the default
+    det_threshold=0.6 (_init_models), so the prewarm gate must too."""
+    from face_crop_plus_tpu import Cropper
+
+    calls = []
+    monkeypatch.setattr(prewarm, "start", lambda dev=None: calls.append(dev))
+    lm = tmp_path / "lm.txt"
+    lm.write_text("a.jpg 20 20 44 20 32 32 22 44 42 44\n")
+    c = Cropper(landmarks=str(lm), enh_threshold=None)
+    assert c.det_model is None
+    assert calls == []

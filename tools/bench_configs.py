@@ -108,6 +108,7 @@ def _sr_device_profile(model, size: int) -> dict | None:
         size * size / 1e6,
         "MP",
         lowered=lowered,
+        device=model.device,
     )
 
 
@@ -337,7 +338,7 @@ def _parse_device_profile(model, batch: int) -> dict | None:
         lowered = None
     return bench.profile_program(
         f"bisenet_parse_packed@512²(batch={batch})", step, batch, "faces",
-        lowered=lowered,
+        lowered=lowered, device=model.device,
     )
 
 
@@ -466,12 +467,11 @@ def run_serving() -> dict:
     calls = int(os.environ.get("FCPT_BENCH_SERVING_CALLS", "8"))
 
     cropper = bench.build_cropper(accel)
-    rng = np.random.default_rng(0)
     # One resident request batch at the Cropper's device batch size, the
-    # shape a serving frontend would pin.
-    batch = rng.integers(
-        0, 255, (bench.BATCH,) + bench.SRC_HW + (3,), np.uint8
-    )
+    # shape a serving frontend would pin.  Real face photos: a noise
+    # batch detects nothing under real weights and would bench an empty
+    # pipeline.
+    batch = bench.make_image_batch(bench.BATCH)
 
     t0 = time.perf_counter()
     crops, indices, _groups = cropper.process_images(batch)

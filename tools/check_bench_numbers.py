@@ -43,7 +43,7 @@ MARKER = re.compile(
 )
 
 # Bench config suffixes that must each be cited at least once in README.md.
-CONFIGS = ("", "_enhance", "_landmarks", "_parse", "_scale")
+CONFIGS = ("", "_enhance", "_landmarks", "_parse", "_scale", "_serving")
 
 
 def load_field(artifact: str, path: str):
