@@ -3,9 +3,11 @@
 #
 #   tools/refresh_bench_artifacts.sh [round-tag]     # default: r03
 #
-# Writes BENCH_<tag>{,_landmarks,_enhance,_parse,_scale}.json at the repo
-# root, each a single JSON line from bench.py (the headline detect mode is
-# what the round driver runs; the others are BASELINE.json configs 1/3/4/5).
+# Writes BENCH_<tag>_{detect,landmarks,enhance,parse,scale,serving}.json at
+# the repo root, each a single JSON line from bench.py.  The *builder's*
+# detect artifact is named `_detect` on purpose: the round driver writes its
+# own `BENCH_<tag>.json` (detect mode) at end of round, and README numbers
+# cite the driver's file — a builder run must never squat on that name.
 set -u
 cd "$(dirname "$0")/.."
 TAG="${1:-r03}"
@@ -22,8 +24,9 @@ run() {
     fi
 }
 
-run detect    "BENCH_${TAG}.json"
+run detect    "BENCH_${TAG}_detect.json"
 run landmarks "BENCH_${TAG}_landmarks.json"
 run enhance   "BENCH_${TAG}_enhance.json"
 run parse     "BENCH_${TAG}_parse.json"
 run scale     "BENCH_${TAG}_scale.json"
+run serving   "BENCH_${TAG}_serving.json"
