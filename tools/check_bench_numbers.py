@@ -45,6 +45,12 @@ MARKER = re.compile(
 # Bench config suffixes that must each be cited at least once in README.md.
 CONFIGS = ("", "_enhance", "_landmarks", "_parse", "_scale", "_serving")
 
+# The headline detect config appears under two artifact names: the driver's
+# end-of-round BENCH_r{N}.json and the in-round refresh BENCH_r{N}_detect.json
+# (named so a refresh never clobbers the driver artifact).  Both count as the
+# headline ("") config.
+_CONFIG_ALIASES = {"_detect": ""}
+
 
 def load_field(artifact: str, path: str):
     """Resolve a dotted field path inside a bench artifact's JSON.
@@ -93,11 +99,15 @@ def quoted_matches(quoted: str, actual: float) -> bool:
 
 def newest_round(config: str) -> int:
     """Highest round N for which BENCH_r{N}{config}.json exists."""
+    suffixes = [config] + [a for a, c in _CONFIG_ALIASES.items() if c == config]
     best = -1
-    for fp in glob.glob(os.path.join(REPO, f"BENCH_r*{config}.json")):
-        m = re.match(rf"BENCH_r(\d+){re.escape(config)}\.json$", os.path.basename(fp))
-        if m:
-            best = max(best, int(m.group(1)))
+    for suffix in suffixes:
+        for fp in glob.glob(os.path.join(REPO, f"BENCH_r*{suffix}.json")):
+            m = re.match(
+                rf"BENCH_r(\d+){re.escape(suffix)}\.json$", os.path.basename(fp)
+            )
+            if m:
+                best = max(best, int(m.group(1)))
     return best
 
 
@@ -132,6 +142,7 @@ def check(files=("README.md", "STATUS.md")) -> list[str]:
             rm = re.match(r"BENCH_r(\d+)(_[a-z]+)?\.json$", artifact)
             if rm and name == "README.md":
                 cfg = rm.group(2) or ""
+                cfg = _CONFIG_ALIASES.get(cfg, cfg)
                 if cfg in cited:
                     cited[cfg].add(int(rm.group(1)))
 
