@@ -35,8 +35,9 @@ CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu
 DEMO_DIR = "/root/reference/demo/input_images"
 # json-normalized (tuples -> lists) so it compares equal after a round trip;
 # the final int is a config version — bump when CPU-path behavior changes
-# (3: native host warp landed, r3; 4: AVX2 fixed-point warp default).
-CACHE_KEY = json.loads(json.dumps([RESIZE, OUTPUT, BATCH, SRC_HW, 4]))
+# (3: native host warp landed, r3; 4: AVX2 fixed-point warp default;
+# 5: YUV-direct landmark crops, r5).
+CACHE_KEY = json.loads(json.dumps([RESIZE, OUTPUT, BATCH, SRC_HW, 5]))
 
 
 def log(*args):
@@ -554,47 +555,91 @@ def host_profile_landmarks(e2e_value: float | None) -> dict | None:
     """
     try:
         from face_crop_plus_tpu.ops.transform import estimate_similarity_np
-        from face_crop_plus_tpu.utils.io import imwrite, read_images
+        from face_crop_plus_tpu.utils.io import (
+            PackedYUVImage,
+            imwrite,
+            imwrite_yuv420,
+            read_images,
+        )
         from face_crop_plus_tpu.utils.landmarks import make_target_landmarks
-        from face_crop_plus_tpu.utils.native_io import warp_affine_batch_native
+        from face_crop_plus_tpu.utils.native_io import (
+            warp_affine_batch_native,
+            warp_yuv420_available,
+            warp_yuv420_batch_native,
+            yuv_encoder_available,
+        )
 
         n, reps = 64, 3
         d = make_dataset(n)
         files = sorted(os.listdir(d))
 
-        imgs, _names = read_images(files, d)  # warm (library load/build)
+        # r5: the production landmark pipeline runs YUV-direct for
+        # JPEG-in/JPEG-out (see Cropper._yuv_crop_eligible) — profile the
+        # kernels the e2e number actually runs.
+        yuv = (
+            os.environ.get("FCPT_YUV_CROP", "auto") != "0"
+            and os.environ.get("FCPT_WARP_EXACT") != "1"
+            and warp_yuv420_available()
+            and yuv_encoder_available()
+        )
+
+        imgs, _names = read_images(files, d, want_packed=yuv)  # warm
         t0 = time.perf_counter()
         for _ in range(reps):
-            imgs, _names = read_images(files, d)
+            imgs, _names = read_images(files, d, want_packed=yuv)
         dec_ips = n * reps / (time.perf_counter() - t0)
+        yuv = yuv and all(isinstance(im, PackedYUVImage) for im in imgs)
 
         # The production fit+warp: numpy-twin similarity estimate to the
         # standard 5-point template, then the native fixed-point AVX2 warp
-        # (the pipeline default; FCPT_WARP_EXACT=1 changes it, so honor it).
+        # — per YCbCr plane in YUV-direct mode, RGB otherwise
+        # (FCPT_WARP_EXACT=1 changes the sampling, so honor it).
         base = np.array(
             [[69, 112], [108, 112], [88, 134], [72, 154], [104, 154]], np.float32
         )
         src = np.broadcast_to(base, (n, 5, 2))
         tgt = make_target_landmarks(OUTPUT, 0.65)
         exact = os.environ.get("FCPT_WARP_EXACT", "0") == "1"
-        batch = np.stack(imgs)
         idx = np.arange(n, dtype=np.int32)
+        if yuv:
+            batch = np.stack([im.packed for im in imgs])
+            src_hw = (imgs[0].h, imgs[0].w)
+
+            def _warp(mats):
+                return warp_yuv420_batch_native(
+                    batch, src_hw, mats, idx, OUTPUT, exact=exact
+                )
+
+        else:
+            batch = np.stack(imgs)
+
+            def _warp(mats):
+                return warp_affine_batch_native(
+                    batch, mats, idx, OUTPUT, exact=exact
+                )
+
         mats, _valid = estimate_similarity_np(src, tgt)
-        crops = warp_affine_batch_native(batch, mats, idx, OUTPUT, exact=exact)
+        crops = _warp(mats)
         if crops is None:
             return None
         t0 = time.perf_counter()
         for _ in range(reps):
             mats, _valid = estimate_similarity_np(src, tgt)
-            crops = warp_affine_batch_native(batch, mats, idx, OUTPUT, exact=exact)
+            crops = _warp(mats)
         warp_ips = n * reps / (time.perf_counter() - t0)
 
         enc_dir = tempfile.mkdtemp(prefix="fcpt_benchenc_")
-        imwrite(os.path.join(enc_dir, "warm.jpg"), crops[0])
+
+        def _encode(path, crop):
+            if yuv:
+                return imwrite_yuv420(path, crop, OUTPUT)
+            return imwrite(path, crop)
+
+        _encode(os.path.join(enc_dir, "warm.jpg"), crops[0])
         t0 = time.perf_counter()
         for r in range(reps):
             for i in range(n):
-                imwrite(os.path.join(enc_dir, f"{r}_{i}.jpg"), crops[i])
+                _encode(os.path.join(enc_dir, f"{r}_{i}.jpg"), crops[i])
         enc_ips = n * reps / (time.perf_counter() - t0)
         shutil.rmtree(enc_dir, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
@@ -611,9 +656,11 @@ def host_profile_landmarks(e2e_value: float | None) -> dict | None:
                 round(e2e_value / roofline, 2) if e2e_value else None
             ),
             "cpus": os.cpu_count(),
+            "path": "yuv-direct" if yuv else "rgb",
             "note": "ceilings measured standalone with the production "
                     "kernels (native decode / numpy fit + AVX2 warp / "
-                    "encode); serial roofline assumes no stage overlap "
+                    "encode — packed 4:2:0 end to end on the yuv-direct "
+                    "path); serial roofline assumes no stage overlap "
                     "(1-vCPU-accurate; more cores raise it)",
         }
         log(f"host profile: {prof}")

@@ -756,6 +756,115 @@ class Cropper:
 
         return yuv_encoder_available()
 
+    def _yuv_crop_eligible(self) -> bool:
+        """Whether landmark-mode crops may run the YUV-direct pipeline.
+
+        The reference's flagship fast path (README.md:246-275) decodes
+        JPEG→RGB, warps RGB, re-encodes RGB→JPEG.  For JPEG-in/JPEG-out
+        landmark cropping every step of that round trip can stay in the
+        codec's native 4:2:0 space: sources decode to their stored planes
+        (entropy + IDCT only — no chroma upsample, no color conversion),
+        faces warp per plane (``native_io.warp_yuv420_batch_native``), and
+        the packed rows feed the raw-data encoder (no RGB→YCbCr, no
+        downsample).  Full-size RGB is never materialized and the warp
+        moves half the bytes.  Crops sit within ~1 intensity level of the
+        RGB path (the packed wire formats' documented band); luma is
+        within rounding.  ``FCPT_YUV_CROP=0`` restores the RGB path;
+        ``FCPT_WARP_EXACT=1`` (device-warp bit parity) disables it too.
+
+        Per-file: only plain 4:2:0 EXIF-upright JPEG sources decode
+        packed; others keep the RGB path within the same batch.
+        """
+        if os.environ.get("FCPT_YUV_CROP", "auto") == "0":
+            return False
+        if os.environ.get("FCPT_WARP_EXACT") == "1":
+            return False
+        if os.environ.get("FCPT_NATIVE_WARP") == "0":
+            return False
+        if self.landmarks is None or self.det_model is not None:
+            return False
+        if self.enh_model is not None or self.par_model is not None:
+            return False
+        if self.mesh is not None:
+            return False
+        if self.output_format is not None and self.output_format.lower() not in (
+            "jpg",
+            "jpeg",
+        ):
+            return False
+        wo, ho = self.output_size
+        if wo % 2 or ho % 2 or min(wo, ho) < 2:
+            return False
+        from .utils.native_io import warp_yuv420_available, yuv_encoder_available
+
+        return yuv_encoder_available() and warp_yuv420_available(self.padding)
+
+    def _align_crop_yuv(self, images, indices, landmarks):
+        """Landmark-mode crop in packed YCbCr 4:2:0 space (see
+        :meth:`_yuv_crop_eligible`).
+
+        Packed sources warp per plane straight to packed crop rows;
+        RGB entries in the same batch (non-4:2:0 / EXIF-rotated files)
+        warp through the usual native RGB path.  Returns a per-face list
+        (1-D packed rows and/or (Ho, Wo, 3) RGB crops, original face
+        order) and the filtered int64 indices — ``save_group`` writes
+        both forms.
+        """
+        from .ops.transform import estimate_affine_np, estimate_similarity_np
+        from .utils.io import PackedYUVImage
+        from .utils.native_io import warp_yuv420_batch_native
+
+        indices = np.asarray(indices, np.int64)
+        landmarks = np.asarray(landmarks, np.float32)
+        fit = estimate_affine_np if self.allow_skew else estimate_similarity_np
+        matrices, valid = fit(landmarks, np.asarray(self.landmarks_target))
+        pos = np.nonzero(np.asarray(valid))[0]
+        if len(pos) == 0:
+            return [], np.zeros((0,), np.int64)
+        indices = indices[pos]
+        matrices = np.asarray(matrices, np.float32)[pos]
+        n_threads = max(1, (os.cpu_count() or 1) // max(1, self.num_processes))
+        out: list = [None] * len(indices)
+        packed_face = np.array(
+            [isinstance(images[i], PackedYUVImage) for i in indices], bool
+        )
+        rgb_ks = list(np.nonzero(~packed_face)[0])
+        by_hw: defaultdict[tuple, list[int]] = defaultdict(list)
+        for k in np.nonzero(packed_face)[0]:
+            im = images[indices[k]]
+            by_hw[(im.h, im.w)].append(int(k))
+        for (h, w), ks in by_hw.items():
+            uniq, local = np.unique(indices[ks], return_inverse=True)
+            stack = np.stack([images[i].packed for i in uniq])
+            rows = warp_yuv420_batch_native(
+                stack,
+                (h, w),
+                matrices[ks],
+                local.astype(np.int32),
+                self.output_size,
+                self.padding,
+                n_threads=n_threads,
+            )
+            if rows is None:  # pragma: no cover - gated by _yuv_crop_eligible
+                rgb_ks.extend(ks)
+                continue
+            for j, k in enumerate(ks):
+                out[k] = rows[j]
+        if rgb_ks:
+            rgb_ks = np.asarray(sorted(int(k) for k in rgb_ks))
+            # Unpack only sources this remainder actually references (all
+            # are RGB already unless the native warp vanished mid-run).
+            src = list(images)
+            for i in set(int(indices[k]) for k in rgb_ks):
+                if isinstance(src[i], PackedYUVImage):  # pragma: no cover
+                    src[i] = src[i].to_rgb()
+            crops = self._warp_ragged(
+                src, indices[rgb_ks], matrices[rgb_ks], prefer_native=True
+            )
+            for j, k in enumerate(rgb_ks):
+                out[int(k)] = crops[j]
+        return out, indices
+
     def _jpeg_bound(self, file_names) -> bool:
         """Whether every output of this batch will be a JPEG file.
 
@@ -974,9 +1083,13 @@ class Cropper:
             else None
         )
         want_packed = self._packed_upload_eligible()
+        yuv_crop = self._yuv_crop_eligible()
         with self.stats.stage("read", len(file_names)):
             images, file_names = read_images(
-                file_names, input_dir, target_max, want_packed=want_packed
+                file_names,
+                input_dir,
+                target_max,
+                want_packed=want_packed or yuv_crop,
             )
         if len(images) == 0:
             return
@@ -1193,9 +1306,16 @@ class Cropper:
 
         if landmarks is not None:
             with self.stats.stage("crop", len(landmarks)):
-                images, indices = self._align_crop_filtered(
-                    images, paddings, indices, landmarks
-                )
+                if yuv_crop:
+                    # JPEG-in/JPEG-out landmark crops stay in packed
+                    # 4:2:0 space end to end (see _yuv_crop_eligible).
+                    images, indices = self._align_crop_yuv(
+                        images, indices, landmarks
+                    )
+                else:
+                    images, indices = self._align_crop_filtered(
+                        images, paddings, indices, landmarks
+                    )
             if len(images) == 0:
                 return
 

@@ -156,6 +156,33 @@ def load_library():
             lib._has_native_warp = True
         except AttributeError:  # pragma: no cover - stale binary only
             lib._has_native_warp = False
+        try:  # stale pre-r5 .so without a toolchain to rebuild it
+            lib.fcpt_warp_affine_u8_bv.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte),  # images
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n,h,w,c
+                ctypes.POINTER(ctypes.c_float),  # inv_mats
+                ctypes.POINTER(ctypes.c_int),  # img_idx
+                ctypes.POINTER(ctypes.c_int),  # windows (nullable)
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,  # f, oh, ow
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,  # border_mode, exact, n_threads
+                ctypes.POINTER(ctypes.c_ubyte),  # border_value (nullable)
+                ctypes.POINTER(ctypes.c_ubyte),  # out
+            ]
+            lib.fcpt_warp_affine_u8_bv.restype = ctypes.c_int
+            lib._has_native_warp_bv = True
+            lib.fcpt_warp_yuv420.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte),  # packed source rows
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n, h, w
+                ctypes.POINTER(ctypes.c_float),  # inv_y
+                ctypes.POINTER(ctypes.c_float),  # inv_c
+                ctypes.POINTER(ctypes.c_int),  # img_idx
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,  # f, oh, ow
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,  # mode, exact, threads
+                ctypes.POINTER(ctypes.c_ubyte),  # out packed rows
+            ]
+            lib.fcpt_warp_yuv420.restype = ctypes.c_int
+        except AttributeError:  # pragma: no cover - stale binary only
+            lib._has_native_warp_bv = False
         try:  # stale pre-r4 .so without a toolchain to rebuild it
             lib.fcpt_yuv420_to_rgb.argtypes = [
                 ctypes.POINTER(ctypes.c_ubyte),  # packed rows
@@ -515,6 +542,7 @@ def warp_affine_batch_native(
     windows: np.ndarray | None = None,
     n_threads: int = 0,
     exact: bool = True,
+    border_value: tuple[int, ...] | None = None,
 ) -> np.ndarray | None:
     """Host-native counterpart of ``ops.warp.warp_affine_batch`` (uint8 out).
 
@@ -527,6 +555,11 @@ def warp_affine_batch_native(
     rounding order (round-half-even); ``exact=False`` samples with 10-bit
     fixed-point arithmetic (the cv2 INTER_LINEAR family, which uses 5
     bits) — within one intensity level of the exact path, faster.
+
+    ``border_value`` sets the constant-border color per channel (default
+    black/zero; the YUV-direct crop path passes ``(128, 128)`` for chroma
+    planes).  Returns None when set but the loaded binary predates the
+    ``_bv`` entry point.
     """
     lib = load_library()
     if (
@@ -534,6 +567,8 @@ def warp_affine_batch_native(
         or not getattr(lib, "_has_native_warp", False)
         or border_mode not in _BORDER_ENUM
     ):
+        return None
+    if border_value is not None and not getattr(lib, "_has_native_warp_bv", False):
         return None
     images = np.ascontiguousarray(images, np.uint8)
     n, h, w, c = images.shape
@@ -550,12 +585,138 @@ def warp_affine_batch_native(
         win_ptr = win.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
     if n_threads < 1:
         n_threads = min(4, os.cpu_count() or 1)
+    if border_value is not None:
+        bv = np.ascontiguousarray(np.asarray(border_value, np.uint8))
+        if bv.size != c:
+            return None
+        rc = lib.fcpt_warp_affine_u8_bv(
+            images.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            n, h, w, c,
+            inv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            win_ptr, f, ho, wo, _BORDER_ENUM[border_mode], int(exact),
+            n_threads,
+            bv.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        )
+        return out if rc == 0 else None
     rc = lib.fcpt_warp_affine_u8(
         images.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         n, h, w, c,
         inv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         win_ptr, f, ho, wo, _BORDER_ENUM[border_mode], int(exact), n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    return out if rc == 0 else None
+
+
+def chroma_conjugate_affine(matrices: np.ndarray) -> np.ndarray:
+    """Maps full-resolution affine transforms onto the 4:2:0 chroma grid.
+
+    JPEG 4:2:0 chroma sample (i, j) sits at full-resolution pixel-center
+    coordinate (2i + 0.5, 2j + 0.5) (JFIF centered siting — the same
+    convention as the framework's [0.75, 0.25] upsample twins in
+    ``ops.yuv``).  Conjugating a transform by that grid map keeps the
+    linear part and shifts the translation:
+
+        q' = A q + (A·[.5,.5] + t − [.5,.5]) / 2
+
+    Applies identically to forward and inverse matrices (conjugation
+    commutes with inversion).  Input/output: float32 (F, 2, 3).
+    """
+    m = np.asarray(matrices, np.float32)
+    A = m[:, :, :2]
+    t = m[:, :, 2]
+    half = np.array([0.5, 0.5], np.float32)
+    tc = (A @ half + t - half) / 2.0
+    return np.concatenate([A, tc[:, :, None]], axis=2).astype(np.float32)
+
+
+def warp_yuv420_available(border_mode: str = "constant") -> bool:
+    """True when :func:`warp_yuv420_batch_native` can serve this mode."""
+    lib = load_library()
+    return (
+        lib is not None
+        and bool(getattr(lib, "_has_native_warp_bv", False))
+        and border_mode in _BORDER_ENUM
+    )
+
+
+def warp_yuv420_batch_native(
+    packed: np.ndarray,
+    src_hw: tuple[int, int],
+    matrices: np.ndarray,
+    img_idx: np.ndarray,
+    output_size: tuple[int, int],
+    border_mode: str = "constant",
+    n_threads: int = 0,
+    exact: bool = False,
+) -> np.ndarray | None:
+    """Warps faces straight from packed YCbCr 4:2:0 source rows.
+
+    The YUV-direct crop pipeline: JPEG sources decode to their stored
+    planes (entropy + IDCT only), faces warp per plane — Y at full
+    resolution, Cb/Cr on the half-resolution chroma grid via
+    :func:`chroma_conjugate_affine` with a 128 (color-neutral) constant
+    border — and the packed output rows feed the raw-data JPEG encoder.
+    Full-size RGB is never materialized; the warp moves half the bytes
+    of its RGB counterpart.  Chroma interpolates on the subsampled grid
+    instead of upsample→warp→downsample, so crops sit within ~1 level of
+    the RGB path on smooth content (the band the packed wire formats
+    already document); luma matches the RGB path's Y within rounding.
+
+    Args:
+        packed: (N, L) uint8 packed source rows (planes Y|Cb|Cr).
+        src_hw: Source (H, W), both even.
+        matrices: Forward (F, 2, 3) full-resolution transforms
+            (inverted and chroma-conjugated here).
+        img_idx: (F,) int source-row index per face.
+        output_size: (Wo, Ho), both even.
+        border_mode: cv2-family border name.
+        n_threads: Worker threads (0 = auto).
+        exact: Exact float sampling instead of 10-bit fixed-point.
+
+    Returns:
+        (F, Lo) uint8 packed crop rows, or None when the native library
+        (with the r5 entry points) is unavailable or shapes are invalid.
+    """
+    lib = load_library()
+    if (
+        lib is None
+        or not getattr(lib, "_has_native_warp_bv", False)
+        or border_mode not in _BORDER_ENUM
+    ):
+        return None
+    h, w = int(src_hw[0]), int(src_hw[1])
+    wo, ho = int(output_size[0]), int(output_size[1])
+    if h % 2 or w % 2 or ho % 2 or wo % 2 or min(h, w, ho, wo) < 2:
+        return None
+    packed = np.ascontiguousarray(packed, np.uint8)
+    if packed.ndim != 2 or packed.shape[1] != h * w + 2 * (h // 2) * (w // 2):
+        return None
+    n = packed.shape[0]
+    f = int(np.shape(matrices)[0])
+    out = np.empty((f, ho * wo + 2 * (ho // 2) * (wo // 2)), np.uint8)
+    if f == 0:
+        return out
+    # Conjugate the forward transform first, then invert — the same float
+    # op order as a per-plane composition through warp_affine_batch_native
+    # (conjugation and inversion commute exactly, but not in float32).
+    inv_y = np.ascontiguousarray(_invert_affine_np(matrices).reshape(f, 6))
+    inv_c = np.ascontiguousarray(
+        _invert_affine_np(chroma_conjugate_affine(matrices)).reshape(f, 6)
+    )
+    idx = np.ascontiguousarray(np.asarray(img_idx, np.int32))
+    if n_threads < 1:
+        n_threads = min(4, os.cpu_count() or 1)
+    rc = lib.fcpt_warp_yuv420(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        n, h, w,
+        inv_y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        inv_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        f, ho, wo, _BORDER_ENUM[border_mode], int(exact), n_threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
     )
     return out if rc == 0 else None

@@ -556,7 +556,8 @@ inline unsigned char sat_round(float v) {
 template <bool EXACT>
 inline void warp_pixel(const unsigned char* src, size_t row_stride, int c,
                        float sx, float sy, int top, int left, int eh, int ew,
-                       int mode, unsigned char* out_px) {
+                       int mode, const unsigned char* bv,
+                       unsigned char* out_px) {
   if (!EXACT) {
     const int sxq = static_cast<int>(floorf(sx * 1024.f));
     const int syq = static_cast<int>(floorf(sy * 1024.f));
@@ -608,7 +609,9 @@ inline void warp_pixel(const unsigned char* src, size_t row_stride, int c,
   }
 
   // Border path: per-neighbor cv2 index remapping (exact for all
-  // five modes; "constant" masks outside-neighbor weights to zero).
+  // five modes; "constant" blends outside-neighbor weights against the
+  // per-channel border value (0 for RGB/luma black; 128 keeps chroma
+  // planes color-neutral, the exact YCbCr image of an RGB black border).
   float acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};  // c <= 8 supported
   const float wgt[2][2] = {{w00, w01}, {w10, w11}};
   for (int dy = 0; dy < 2; ++dy) {
@@ -617,7 +620,8 @@ inline void warp_pixel(const unsigned char* src, size_t row_stride, int c,
       const int xi = x0 + dx;
       float g = wgt[dy][dx];
       if (mode == 0 && (xi < 0 || xi >= ew || yi < 0 || yi >= eh)) {
-        continue;  // constant border: zero contribution
+        for (int ch = 0; ch < c; ++ch) acc[ch] += g * bv[ch];
+        continue;
       }
       const int ym = map_index(yi, eh, mode) + top;
       const int xm = map_index(xi, ew, mode) + left;
@@ -642,8 +646,8 @@ inline void warp_pixel(const unsigned char* src, size_t row_stride, int c,
 inline void warp_row_fixed3_avx2(const unsigned char* src, size_t row_stride,
                                  float a, float d, float sx_row, float sy_row,
                                  int top, int left, int eh, int ew, int mode,
-                                 long long max_off, unsigned char* out_row,
-                                 int ow) {
+                                 long long max_off, const unsigned char* bv,
+                                 unsigned char* out_row, int ow) {
   const __m256 va = _mm256_set1_ps(a);
   const __m256 vd = _mm256_set1_ps(d);
   const __m256 vsxr = _mm256_set1_ps(sx_row);
@@ -720,7 +724,7 @@ inline void warp_row_fixed3_avx2(const unsigned char* src, size_t row_stride,
       _mm256_store_ps(sys, sy);
       for (int k = 0; k < 8; ++k) {
         warp_pixel<false>(src, row_stride, 3, sxs[k], sys[k], top, left, eh,
-                          ew, mode, dst + 3 * k);
+                          ew, mode, bv, dst + 3 * k);
       }
       continue;
     }
@@ -811,7 +815,172 @@ inline void warp_row_fixed3_avx2(const unsigned char* src, size_t row_stride,
     const float sx = a * x + sx_row;
     const float sy = d * x + sy_row;
     warp_pixel<false>(src, row_stride, 3, sx, sy, top, left, eh, ew, mode,
-                      out_row + static_cast<size_t>(x) * 3);
+                      bv, out_row + static_cast<size_t>(x) * 3);
+  }
+}
+
+// 8-pixel AVX2 row kernel for the fixed-point c==1 / c==2 paths (the
+// YUV-direct crop pipeline's luma and interleaved-chroma planes).  Per
+// block: vector-compute quantized coordinates + interior mask like the
+// c==3 kernel; interior blocks fetch each pixel's horizontal 2-tap pair
+// as one 4-byte load (2 bytes used at c==1, all 4 at c==2), widen the
+// taps into epi16 pairs and blend with pmaddwd (horizontal) + 32-bit
+// multiplies (vertical).  Bit-identical to the scalar fixed-point path;
+// border-touching blocks fall back per pixel.
+template <int C>
+inline void warp_row_fixed12_avx2(const unsigned char* src, size_t row_stride,
+                                  float a, float d, float sx_row, float sy_row,
+                                  int top, int left, int eh, int ew, int mode,
+                                  long long max_off, const unsigned char* bv,
+                                  unsigned char* out_row, int ow) {
+  static_assert(C == 1 || C == 2, "c==1 / c==2 only");
+  const __m256 va = _mm256_set1_ps(a);
+  const __m256 vd = _mm256_set1_ps(d);
+  const __m256 vsxr = _mm256_set1_ps(sx_row);
+  const __m256 vsyr = _mm256_set1_ps(sy_row);
+  const __m256 v1024f = _mm256_set1_ps(1024.f);
+  const __m256i v1023 = _mm256_set1_epi32(1023);
+  const __m256i v1024 = _mm256_set1_epi32(1024);
+  const __m256i vm1 = _mm256_set1_epi32(-1);
+  const __m256i vxlim = _mm256_set1_epi32(ew - 1);
+  const __m256i vylim = _mm256_set1_epi32(eh - 1);
+  const __m256i vtop = _mm256_set1_epi32(top);
+  const __m256i vleft = _mm256_set1_epi32(left);
+  const __m256i vrs = _mm256_set1_epi32(static_cast<int>(row_stride));
+  const __m256i vmaxoff = _mm256_set1_epi32(
+      max_off > 0x7fffffffLL ? 0x7fffffff : static_cast<int>(max_off));
+  const __m256i vbias = _mm256_set1_epi32(1 << 19);
+  const __m256i iota = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+  // c==2: even bytes of each 4-byte pair = channel-0 taps (p00, p01) as
+  // epi16; odd bytes = channel-1.  c==1: taps are bytes 0 and 1.
+  const __m256i mEven = _mm256_set1_epi32(0x00FF00FF);
+
+  int x = 0;
+  for (; x + 8 <= ow; x += 8) {
+    const __m256 xs =
+        _mm256_cvtepi32_ps(_mm256_add_epi32(_mm256_set1_epi32(x), iota));
+    const __m256 sx = _mm256_add_ps(_mm256_mul_ps(va, xs), vsxr);
+    const __m256 sy = _mm256_add_ps(_mm256_mul_ps(vd, xs), vsyr);
+    const __m256i sxq =
+        _mm256_cvtps_epi32(_mm256_floor_ps(_mm256_mul_ps(sx, v1024f)));
+    const __m256i syq =
+        _mm256_cvtps_epi32(_mm256_floor_ps(_mm256_mul_ps(sy, v1024f)));
+    const __m256i x0 = _mm256_srai_epi32(sxq, 10);
+    const __m256i y0 = _mm256_srai_epi32(syq, 10);
+    const __m256i fx = _mm256_and_si256(sxq, v1023);
+    const __m256i fy = _mm256_and_si256(syq, v1023);
+
+    __m256i ok = _mm256_and_si256(_mm256_cmpgt_epi32(x0, vm1),
+                                  _mm256_cmpgt_epi32(vxlim, x0));
+    ok = _mm256_and_si256(
+        ok, _mm256_and_si256(_mm256_cmpgt_epi32(y0, vm1),
+                             _mm256_cmpgt_epi32(vylim, y0)));
+    const __m256i off = _mm256_add_epi32(
+        _mm256_mullo_epi32(_mm256_add_epi32(y0, vtop), vrs),
+        C == 2 ? _mm256_slli_epi32(_mm256_add_epi32(x0, vleft), 1)
+               : _mm256_add_epi32(x0, vleft));
+    const __m256i offB = _mm256_add_epi32(off, vrs);
+    // 4-byte fetches read (4 - 2*C) bytes past the second pixel; keep
+    // them inside the caller's buffer.
+    ok = _mm256_andnot_si256(_mm256_cmpgt_epi32(offB, vmaxoff), ok);
+
+    unsigned char* dst = out_row + static_cast<size_t>(x) * C;
+    if (_mm256_movemask_epi8(ok) != -1) {
+      alignas(32) float sxs[8], sys[8];
+      _mm256_store_ps(sxs, sx);
+      _mm256_store_ps(sys, sy);
+      for (int k = 0; k < 8; ++k) {
+        warp_pixel<false>(src, row_stride, C, sxs[k], sys[k], top, left, eh,
+                          ew, mode, bv, dst + C * k);
+      }
+      continue;
+    }
+
+    alignas(32) int offs[8];
+    _mm256_store_si256(reinterpret_cast<__m256i*>(offs), off);
+    alignas(32) unsigned int tT[8], tB[8];
+    for (int k = 0; k < 8; ++k) {
+      const unsigned char* p = src + offs[k];
+      memcpy(&tT[k], p, 4);
+      memcpy(&tB[k], p + row_stride, 4);
+    }
+    const __m256i gT = _mm256_load_si256(reinterpret_cast<const __m256i*>(tT));
+    const __m256i gB = _mm256_load_si256(reinterpret_cast<const __m256i*>(tB));
+
+    // (wx0 | fx<<16) epi16 pairs; lanes map 1:1 to pixels (no swizzle).
+    const __m256i WX = _mm256_or_si256(_mm256_sub_epi32(v1024, fx),
+                                       _mm256_slli_epi32(fx, 16));
+    const __m256i wy0 = _mm256_sub_epi32(v1024, fy);
+
+    if (C == 1) {
+      // Lane bytes [p00, p01, x, x] -> epi16 pair [p00 | p01<<16].
+      const __m256i pT = _mm256_or_si256(
+          _mm256_and_si256(gT, _mm256_set1_epi32(0xFF)),
+          _mm256_and_si256(_mm256_slli_epi32(gT, 8),
+                           _mm256_set1_epi32(0x00FF0000)));
+      const __m256i pB = _mm256_or_si256(
+          _mm256_and_si256(gB, _mm256_set1_epi32(0xFF)),
+          _mm256_and_si256(_mm256_slli_epi32(gB, 8),
+                           _mm256_set1_epi32(0x00FF0000)));
+      const __m256i vv = _mm256_srai_epi32(
+          _mm256_add_epi32(
+              _mm256_add_epi32(
+                  _mm256_mullo_epi32(_mm256_madd_epi16(pT, WX), wy0),
+                  _mm256_mullo_epi32(_mm256_madd_epi16(pB, WX), fy)),
+              vbias),
+          20);
+      // 8 epi32 values (each <= 255) -> 8 bytes.
+      const __m256i sh = _mm256_setr_epi8(
+          0, 4, 8, 12, -128, -128, -128, -128, -128, -128, -128, -128, -128,
+          -128, -128, -128, 0, 4, 8, 12, -128, -128, -128, -128, -128, -128,
+          -128, -128, -128, -128, -128, -128);
+      const __m256i b = _mm256_shuffle_epi8(vv, sh);
+      const unsigned int lo =
+          static_cast<unsigned int>(_mm_cvtsi128_si32(_mm256_castsi256_si128(b)));
+      const unsigned int hi = static_cast<unsigned int>(
+          _mm_cvtsi128_si32(_mm256_extracti128_si256(b, 1)));
+      memcpy(dst, &lo, 4);
+      memcpy(dst + 4, &hi, 4);
+    } else {
+      // Lane bytes [u0, v0, u1, v1]: even-byte mask isolates channel-0
+      // taps as epi16 pairs, odd bytes (shifted) channel-1.
+      const __m256i uT = _mm256_and_si256(gT, mEven);
+      const __m256i vT = _mm256_and_si256(_mm256_srli_epi32(gT, 8), mEven);
+      const __m256i uB = _mm256_and_si256(gB, mEven);
+      const __m256i vB = _mm256_and_si256(_mm256_srli_epi32(gB, 8), mEven);
+      const __m256i uu = _mm256_srai_epi32(
+          _mm256_add_epi32(
+              _mm256_add_epi32(
+                  _mm256_mullo_epi32(_mm256_madd_epi16(uT, WX), wy0),
+                  _mm256_mullo_epi32(_mm256_madd_epi16(uB, WX), fy)),
+              vbias),
+          20);
+      const __m256i vv = _mm256_srai_epi32(
+          _mm256_add_epi32(
+              _mm256_add_epi32(
+                  _mm256_mullo_epi32(_mm256_madd_epi16(vT, WX), wy0),
+                  _mm256_mullo_epi32(_mm256_madd_epi16(vB, WX), fy)),
+              vbias),
+          20);
+      // Interleave per lane to [u | v<<8] epi16, then compact the 8
+      // lanes' low 16 bits to 16 output bytes.
+      const __m256i uv = _mm256_or_si256(uu, _mm256_slli_epi32(vv, 8));
+      const __m256i sh = _mm256_setr_epi8(
+          0, 1, 4, 5, 8, 9, 12, 13, -128, -128, -128, -128, -128, -128, -128,
+          -128, 0, 1, 4, 5, 8, 9, 12, 13, -128, -128, -128, -128, -128, -128,
+          -128, -128);
+      const __m256i b = _mm256_shuffle_epi8(uv, sh);
+      _mm_storel_epi64(reinterpret_cast<__m128i*>(dst),
+                       _mm256_castsi256_si128(b));
+      _mm_storel_epi64(reinterpret_cast<__m128i*>(dst + 8),
+                       _mm256_extracti128_si256(b, 1));
+    }
+  }
+  for (; x < ow; ++x) {
+    const float sx = a * x + sx_row;
+    const float sy = d * x + sy_row;
+    warp_pixel<false>(src, row_stride, C, sx, sy, top, left, eh, ew, mode,
+                      bv, out_row + static_cast<size_t>(x) * C);
   }
 }
 #endif  // __AVX2__
@@ -820,25 +989,44 @@ template <bool EXACT>
 void warp_one_face(const unsigned char* images, long long images_bytes,
                    int h, int w, int c, const float* inv6, int img, int top,
                    int left, int eh, int ew, int oh, int ow, int mode,
-                   unsigned char* dst) {
+                   const unsigned char* bv, unsigned char* dst) {
   const float a = inv6[0], b = inv6[1], tx = inv6[2];
   const float d = inv6[3], e = inv6[4], ty = inv6[5];
   const unsigned char* src = images + static_cast<size_t>(img) * h * w * c;
   const size_t row_stride = static_cast<size_t>(w) * c;
 
 #if defined(__AVX2__)
-  if (!EXACT && c == 3 &&
-      row_stride <= (1u << 29)) {  // offsets stay well inside int32
-    // Bytes from this image's start to the end of the whole batch buffer,
-    // minus the 8-byte fetch width.
-    const long long max_off =
-        images_bytes - static_cast<long long>(img) * h * w * c - 8;
-    for (int y = 0; y < oh; ++y) {
-      warp_row_fixed3_avx2(src, row_stride, a, d, b * y + tx, e * y + ty,
-                           top, left, eh, ew, mode, max_off,
-                           dst + static_cast<size_t>(y) * ow * c, ow);
+  if (!EXACT && row_stride <= (1u << 29)) {  // offsets stay inside int32
+    if (c == 3) {
+      // Bytes from this image's start to the end of the whole batch
+      // buffer, minus the 8-byte fetch width.
+      const long long max_off =
+          images_bytes - static_cast<long long>(img) * h * w * c - 8;
+      for (int y = 0; y < oh; ++y) {
+        warp_row_fixed3_avx2(src, row_stride, a, d, b * y + tx, e * y + ty,
+                             top, left, eh, ew, mode, max_off, bv,
+                             dst + static_cast<size_t>(y) * ow * c, ow);
+      }
+      return;
     }
-    return;
+    if (c == 1 || c == 2) {
+      const long long max_off =
+          images_bytes - static_cast<long long>(img) * h * w * c - 4;
+      for (int y = 0; y < oh; ++y) {
+        if (c == 1) {
+          warp_row_fixed12_avx2<1>(src, row_stride, a, d, b * y + tx,
+                                   e * y + ty, top, left, eh, ew, mode,
+                                   max_off, bv,
+                                   dst + static_cast<size_t>(y) * ow, ow);
+        } else {
+          warp_row_fixed12_avx2<2>(src, row_stride, a, d, b * y + tx,
+                                   e * y + ty, top, left, eh, ew, mode,
+                                   max_off, bv,
+                                   dst + static_cast<size_t>(y) * ow * 2, ow);
+        }
+      }
+      return;
+    }
   }
 #else
   (void)images_bytes;
@@ -852,7 +1040,7 @@ void warp_one_face(const unsigned char* images, long long images_bytes,
       const float sx = a * x + sx_row;
       const float sy = d * x + sy_row;
       warp_pixel<EXACT>(src, row_stride, c, sx, sy, top, left, eh, ew, mode,
-                        out_row + static_cast<size_t>(x) * c);
+                        bv, out_row + static_cast<size_t>(x) * c);
     }
   }
 }
@@ -944,14 +1132,19 @@ int fcpt_yuv420_to_rgb(const unsigned char* packed, int n, int h, int w,
 }
 #pragma GCC pop_options
 
-int fcpt_warp_affine_u8(const unsigned char* images, int n, int h, int w,
-                        int c, const float* inv_mats, const int* img_idx,
-                        const int* windows, int f, int oh, int ow,
-                        int border_mode, int exact, int n_threads,
-                        unsigned char* out) {
+static int warp_affine_u8_impl(const unsigned char* images, int n, int h,
+                               int w, int c, const float* inv_mats,
+                               const int* img_idx, const int* windows, int f,
+                               int oh, int ow, int border_mode, int exact,
+                               int n_threads, const unsigned char* border_value,
+                               unsigned char* out) {
   if (c > 8 || c < 1 || border_mode < 0 || border_mode > 4) return 1;
   if (f <= 0) return 0;
   if (n_threads < 1) n_threads = 1;
+  unsigned char bv[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  if (border_value != nullptr) {
+    for (int ch = 0; ch < c; ++ch) bv[ch] = border_value[ch];
+  }
   std::atomic<int> next(0);
   auto worker = [&]() {
     for (;;) {
@@ -960,10 +1153,13 @@ int fcpt_warp_affine_u8(const unsigned char* images, int n, int h, int w,
       const int img = img_idx[i];
       if (img < 0 || img >= n) {
         // Defined output for an invalid index (the caller hands this
-        // buffer out as np.empty): black crop, like the device warp's
-        // clamped-gather-of-nothing for masked faces.
-        memset(out + static_cast<size_t>(i) * oh * ow * c, 0,
-               static_cast<size_t>(oh) * ow * c);
+        // buffer out as np.empty): border-colored crop, like the device
+        // warp's clamped-gather-of-nothing for masked faces.
+        unsigned char* dst0 = out + static_cast<size_t>(i) * oh * ow * c;
+        const size_t npx = static_cast<size_t>(oh) * ow;
+        for (size_t px = 0; px < npx; ++px) {
+          for (int ch = 0; ch < c; ++ch) dst0[px * c + ch] = bv[ch];
+        }
         continue;
       }
       int top = 0, left = 0, eh = h, ew = w;
@@ -988,12 +1184,114 @@ int fcpt_warp_affine_u8(const unsigned char* images, int n, int h, int w,
           static_cast<long long>(n) * h * w * c;
       if (exact) {
         warp_one_face<true>(images, images_bytes, h, w, c, inv_mats + 6 * i,
-                            img, top, left, eh, ew, oh, ow, border_mode, dst);
+                            img, top, left, eh, ew, oh, ow, border_mode, bv,
+                            dst);
       } else {
         warp_one_face<false>(images, images_bytes, h, w, c, inv_mats + 6 * i,
-                             img, top, left, eh, ew, oh, ow, border_mode,
+                             img, top, left, eh, ew, oh, ow, border_mode, bv,
                              dst);
       }
+    }
+  };
+  std::vector<std::thread> threads;
+  const int k = n_threads < f ? n_threads : f;
+  threads.reserve(k);
+  for (int t = 0; t < k; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return 0;
+}
+
+int fcpt_warp_affine_u8(const unsigned char* images, int n, int h, int w,
+                        int c, const float* inv_mats, const int* img_idx,
+                        const int* windows, int f, int oh, int ow,
+                        int border_mode, int exact, int n_threads,
+                        unsigned char* out) {
+  return warp_affine_u8_impl(images, n, h, w, c, inv_mats, img_idx, windows,
+                             f, oh, ow, border_mode, exact, n_threads,
+                             nullptr, out);
+}
+
+// Like fcpt_warp_affine_u8 with a per-channel constant-border value
+// (border_value: c bytes, or nullptr for black).  The YUV-direct crop
+// pipeline warps chroma planes with border_value 128 — the exact YCbCr
+// image of the RGB path's black constant border (YCbCr is affine in RGB,
+// so blending commutes).
+int fcpt_warp_affine_u8_bv(const unsigned char* images, int n, int h, int w,
+                           int c, const float* inv_mats, const int* img_idx,
+                           const int* windows, int f, int oh, int ow,
+                           int border_mode, int exact, int n_threads,
+                           const unsigned char* border_value,
+                           unsigned char* out) {
+  return warp_affine_u8_impl(images, n, h, w, c, inv_mats, img_idx, windows,
+                             f, oh, ow, border_mode, exact, n_threads,
+                             border_value, out);
+}
+
+// YUV-direct crop warp: f faces out of packed planar YCbCr 4:2:0 source
+// rows (n, h*w + 2*(h/2)*(w/2)) into packed crop rows
+// (f, oh*ow + 2*(oh/2)*(ow/2)) — the JPEG pipeline never materializes
+// full-size RGB.  Y warps with inv_y (f x 6 dst->src, full-resolution
+// pixel coordinates, border value 0); Cb and Cr warp at half resolution
+// with inv_c (the chroma-grid conjugate of the same transform — the
+// caller maps both grids through the 4:2:0 centered-siting offset) and
+// border value 128, the YCbCr image of an RGB black border.  Same
+// border_mode/exact semantics as fcpt_warp_affine_u8; h, w, oh, ow all
+// even.  Each plane runs the c==1 AVX2 row kernel.  Returns 0 on success.
+int fcpt_warp_yuv420(const unsigned char* packed, int n, int h, int w,
+                     const float* inv_y, const float* inv_c,
+                     const int* img_idx, int f, int oh, int ow,
+                     int border_mode, int exact, int n_threads,
+                     unsigned char* out) {
+  if (border_mode < 0 || border_mode > 4) return 1;
+  if ((h & 1) || (w & 1) || (oh & 1) || (ow & 1) || h < 2 || w < 2 ||
+      oh < 2 || ow < 2)
+    return 1;
+  if (f <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  const int ch = h / 2, cw = w / 2;
+  const int coh = oh / 2, cow = ow / 2;
+  const size_t ylen = static_cast<size_t>(h) * w;
+  const size_t clen = static_cast<size_t>(ch) * cw;
+  const size_t row_len = ylen + 2 * clen;
+  const size_t oylen = static_cast<size_t>(oh) * ow;
+  const size_t oclen = static_cast<size_t>(coh) * cow;
+  const size_t orow_len = oylen + 2 * oclen;
+  const long long total = static_cast<long long>(n) * row_len;
+  const unsigned char bv0[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  const unsigned char bv128[8] = {128, 0, 0, 0, 0, 0, 0, 0};
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= f) break;
+      unsigned char* dst = out + static_cast<size_t>(i) * orow_len;
+      const int img = img_idx[i];
+      if (img < 0 || img >= n) {
+        memset(dst, 0, oylen);
+        memset(dst + oylen, 128, 2 * oclen);
+        continue;
+      }
+      const size_t base = static_cast<size_t>(img) * row_len;
+      // warp_one_face takes a batch base + image index; hand it the
+      // plane pointer directly (img 0) with the remaining buffer length
+      // as the fetch guard.
+      const auto plane = [&](size_t off, int ph, int pw, const float* inv6,
+                             const unsigned char* bv, unsigned char* pdst,
+                             int poh, int pow) {
+        if (exact) {
+          warp_one_face<true>(packed + base + off, total - base - off, ph,
+                              pw, 1, inv6, 0, 0, 0, ph, pw, poh, pow,
+                              border_mode, bv, pdst);
+        } else {
+          warp_one_face<false>(packed + base + off, total - base - off, ph,
+                               pw, 1, inv6, 0, 0, 0, ph, pw, poh, pow,
+                               border_mode, bv, pdst);
+        }
+      };
+      plane(0, h, w, inv_y + 6 * i, bv0, dst, oh, ow);
+      plane(ylen, ch, cw, inv_c + 6 * i, bv128, dst + oylen, coh, cow);
+      plane(ylen + clen, ch, cw, inv_c + 6 * i, bv128, dst + oylen + oclen,
+            coh, cow);
     }
   };
   std::vector<std::thread> threads;
