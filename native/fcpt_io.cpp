@@ -729,22 +729,19 @@ inline void warp_row_fixed3_avx2(const unsigned char* src, size_t row_stride,
       continue;
     }
 
-    alignas(32) int offs[8];
-    _mm256_store_si256(reinterpret_cast<__m256i*>(offs), off);
-    alignas(32) unsigned long long tT[8], tB[8];
-    for (int k = 0; k < 8; ++k) {
-      const unsigned char* p = src + offs[k];
-      memcpy(&tT[k], p, 8);
-      memcpy(&tB[k], p + row_stride, 8);
-    }
-    const __m256i topA =
-        _mm256_load_si256(reinterpret_cast<const __m256i*>(tT));
-    const __m256i topB =
-        _mm256_load_si256(reinterpret_cast<const __m256i*>(tT + 4));
-    const __m256i botA =
-        _mm256_load_si256(reinterpret_cast<const __m256i*>(tB));
-    const __m256i botB =
-        _mm256_load_si256(reinterpret_cast<const __m256i*>(tB + 4));
+    // vpgatherqq beats 8x scalar staging (store-to-load forwarding stalls
+    // when the staging array is re-read as 256-bit loads).  Pixel pairs
+    // land in the same lane order the staging loop produced.
+    const __m256i offLo = _mm256_cvtepi32_epi64(_mm256_castsi256_si128(off));
+    const __m256i offHi =
+        _mm256_cvtepi32_epi64(_mm256_extracti128_si256(off, 1));
+    const long long* srcT = reinterpret_cast<const long long*>(src);
+    const long long* srcB =
+        reinterpret_cast<const long long*>(src + row_stride);
+    const __m256i topA = _mm256_i64gather_epi64(srcT, offLo, 1);
+    const __m256i topB = _mm256_i64gather_epi64(srcT, offHi, 1);
+    const __m256i botA = _mm256_i64gather_epi64(srcB, offLo, 1);
+    const __m256i botB = _mm256_i64gather_epi64(srcB, offHi, 1);
 
     const __m256i Rt = _mm256_unpacklo_epi64(_mm256_shuffle_epi8(topA, shufR),
                                              _mm256_shuffle_epi8(topB, shufR));
@@ -896,16 +893,12 @@ inline void warp_row_fixed12_avx2(const unsigned char* src, size_t row_stride,
       continue;
     }
 
-    alignas(32) int offs[8];
-    _mm256_store_si256(reinterpret_cast<__m256i*>(offs), off);
-    alignas(32) unsigned int tT[8], tB[8];
-    for (int k = 0; k < 8; ++k) {
-      const unsigned char* p = src + offs[k];
-      memcpy(&tT[k], p, 4);
-      memcpy(&tB[k], p + row_stride, 4);
-    }
-    const __m256i gT = _mm256_load_si256(reinterpret_cast<const __m256i*>(tT));
-    const __m256i gB = _mm256_load_si256(reinterpret_cast<const __m256i*>(tB));
+    // vpgatherdd beats 8x scalar staging here: the stores would hit
+    // store-to-load forwarding stalls when re-read as one 256-bit load.
+    const __m256i gT = _mm256_i32gather_epi32(
+        reinterpret_cast<const int*>(src), off, 1);
+    const __m256i gB = _mm256_i32gather_epi32(
+        reinterpret_cast<const int*>(src + row_stride), off, 1);
 
     // (wx0 | fx<<16) epi16 pairs; lanes map 1:1 to pixels (no swizzle).
     const __m256i WX = _mm256_or_si256(_mm256_sub_epi32(v1024, fx),
@@ -981,6 +974,119 @@ inline void warp_row_fixed12_avx2(const unsigned char* src, size_t row_stride,
     const float sy = d * x + sy_row;
     warp_pixel<false>(src, row_stride, C, sx, sy, top, left, eh, ew, mode,
                       bv, out_row + static_cast<size_t>(x) * C);
+  }
+}
+
+// Chroma-pair row kernel: warps two single-channel planes that share one
+// coordinate grid (4:2:0 Cb and Cr) in a single pass — the coordinate
+// block (the kernel's dominant cost) is computed once for both.
+// Bit-identical to two warp_row_fixed12_avx2<1> passes.
+inline void warp_row_fixed1_pair_avx2(
+    const unsigned char* srcA, const unsigned char* srcB, size_t row_stride,
+    float a, float d, float sx_row, float sy_row, int eh, int ew, int mode,
+    long long max_off_a, long long max_off_b, const unsigned char* bv,
+    unsigned char* outA, unsigned char* outB, int ow) {
+  const __m256 va = _mm256_set1_ps(a);
+  const __m256 vd = _mm256_set1_ps(d);
+  const __m256 vsxr = _mm256_set1_ps(sx_row);
+  const __m256 vsyr = _mm256_set1_ps(sy_row);
+  const __m256 v1024f = _mm256_set1_ps(1024.f);
+  const __m256i v1023 = _mm256_set1_epi32(1023);
+  const __m256i v1024 = _mm256_set1_epi32(1024);
+  const __m256i vm1 = _mm256_set1_epi32(-1);
+  const __m256i vxlim = _mm256_set1_epi32(ew - 1);
+  const __m256i vylim = _mm256_set1_epi32(eh - 1);
+  const __m256i vrs = _mm256_set1_epi32(static_cast<int>(row_stride));
+  const long long max_off =
+      max_off_a < max_off_b ? max_off_a : max_off_b;
+  const __m256i vmaxoff = _mm256_set1_epi32(
+      max_off > 0x7fffffffLL ? 0x7fffffff : static_cast<int>(max_off));
+  const __m256i vbias = _mm256_set1_epi32(1 << 19);
+  const __m256i iota = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+  const __m256i sh = _mm256_setr_epi8(
+      0, 4, 8, 12, -128, -128, -128, -128, -128, -128, -128, -128, -128,
+      -128, -128, -128, 0, 4, 8, 12, -128, -128, -128, -128, -128, -128,
+      -128, -128, -128, -128, -128, -128);
+
+  int x = 0;
+  for (; x + 8 <= ow; x += 8) {
+    const __m256 xs =
+        _mm256_cvtepi32_ps(_mm256_add_epi32(_mm256_set1_epi32(x), iota));
+    const __m256 sx = _mm256_add_ps(_mm256_mul_ps(va, xs), vsxr);
+    const __m256 sy = _mm256_add_ps(_mm256_mul_ps(vd, xs), vsyr);
+    const __m256i sxq =
+        _mm256_cvtps_epi32(_mm256_floor_ps(_mm256_mul_ps(sx, v1024f)));
+    const __m256i syq =
+        _mm256_cvtps_epi32(_mm256_floor_ps(_mm256_mul_ps(sy, v1024f)));
+    const __m256i x0 = _mm256_srai_epi32(sxq, 10);
+    const __m256i y0 = _mm256_srai_epi32(syq, 10);
+    const __m256i fx = _mm256_and_si256(sxq, v1023);
+    const __m256i fy = _mm256_and_si256(syq, v1023);
+
+    __m256i ok = _mm256_and_si256(_mm256_cmpgt_epi32(x0, vm1),
+                                  _mm256_cmpgt_epi32(vxlim, x0));
+    ok = _mm256_and_si256(
+        ok, _mm256_and_si256(_mm256_cmpgt_epi32(y0, vm1),
+                             _mm256_cmpgt_epi32(vylim, y0)));
+    const __m256i off =
+        _mm256_add_epi32(_mm256_mullo_epi32(y0, vrs), x0);
+    const __m256i offB = _mm256_add_epi32(off, vrs);
+    ok = _mm256_andnot_si256(_mm256_cmpgt_epi32(offB, vmaxoff), ok);
+
+    if (_mm256_movemask_epi8(ok) != -1) {
+      alignas(32) float sxs[8], sys[8];
+      _mm256_store_ps(sxs, sx);
+      _mm256_store_ps(sys, sy);
+      for (int k = 0; k < 8; ++k) {
+        warp_pixel<false>(srcA, row_stride, 1, sxs[k], sys[k], 0, 0, eh, ew,
+                          mode, bv, outA + x + k);
+        warp_pixel<false>(srcB, row_stride, 1, sxs[k], sys[k], 0, 0, eh, ew,
+                          mode, bv, outB + x + k);
+      }
+      continue;
+    }
+
+    const __m256i WX = _mm256_or_si256(_mm256_sub_epi32(v1024, fx),
+                                       _mm256_slli_epi32(fx, 16));
+    const __m256i wy0 = _mm256_sub_epi32(v1024, fy);
+    const __m256i mLo = _mm256_set1_epi32(0xFF);
+    const __m256i mHi = _mm256_set1_epi32(0x00FF0000);
+    for (int plane = 0; plane < 2; ++plane) {
+      const unsigned char* s = plane ? srcB : srcA;
+      unsigned char* dst = (plane ? outB : outA) + x;
+      const __m256i gT = _mm256_i32gather_epi32(
+          reinterpret_cast<const int*>(s), off, 1);
+      const __m256i gB = _mm256_i32gather_epi32(
+          reinterpret_cast<const int*>(s + row_stride), off, 1);
+      const __m256i pT = _mm256_or_si256(
+          _mm256_and_si256(gT, mLo),
+          _mm256_and_si256(_mm256_slli_epi32(gT, 8), mHi));
+      const __m256i pB = _mm256_or_si256(
+          _mm256_and_si256(gB, mLo),
+          _mm256_and_si256(_mm256_slli_epi32(gB, 8), mHi));
+      const __m256i vv = _mm256_srai_epi32(
+          _mm256_add_epi32(
+              _mm256_add_epi32(
+                  _mm256_mullo_epi32(_mm256_madd_epi16(pT, WX), wy0),
+                  _mm256_mullo_epi32(_mm256_madd_epi16(pB, WX), fy)),
+              vbias),
+          20);
+      const __m256i b = _mm256_shuffle_epi8(vv, sh);
+      const unsigned int lo = static_cast<unsigned int>(
+          _mm_cvtsi128_si32(_mm256_castsi256_si128(b)));
+      const unsigned int hi = static_cast<unsigned int>(
+          _mm_cvtsi128_si32(_mm256_extracti128_si256(b, 1)));
+      memcpy(dst, &lo, 4);
+      memcpy(dst + 4, &hi, 4);
+    }
+  }
+  for (; x < ow; ++x) {
+    const float sx = a * x + sx_row;
+    const float sy = d * x + sy_row;
+    warp_pixel<false>(srcA, row_stride, 1, sx, sy, 0, 0, eh, ew, mode, bv,
+                      outA + x);
+    warp_pixel<false>(srcB, row_stride, 1, sx, sy, 0, 0, eh, ew, mode, bv,
+                      outB + x);
   }
 }
 #endif  // __AVX2__
@@ -1289,6 +1395,28 @@ int fcpt_warp_yuv420(const unsigned char* packed, int n, int h, int w,
         }
       };
       plane(0, h, w, inv_y + 6 * i, bv0, dst, oh, ow);
+#if defined(__AVX2__)
+      if (!exact) {
+        // Cb and Cr share the coordinate grid: one fused pass computes
+        // the (dominant) coordinate block once for both planes.
+        const float* inv6 = inv_c + 6 * i;
+        const float ca = inv6[0], cb2 = inv6[1], ctx = inv6[2];
+        const float cd = inv6[3], ce = inv6[4], cty = inv6[5];
+        const unsigned char* sA = packed + base + ylen;
+        const unsigned char* sB = sA + clen;
+        const long long remA = total - static_cast<long long>(base) -
+                               static_cast<long long>(ylen) - 4;
+        const long long remB = remA - static_cast<long long>(clen);
+        for (int y = 0; y < coh; ++y) {
+          warp_row_fixed1_pair_avx2(
+              sA, sB, cw, ca, cd, cb2 * y + ctx, ce * y + cty, ch, cw,
+              border_mode, remA, remB, bv128,
+              dst + oylen + static_cast<size_t>(y) * cow,
+              dst + oylen + oclen + static_cast<size_t>(y) * cow, cow);
+        }
+        continue;
+      }
+#endif
       plane(ylen, ch, cw, inv_c + 6 * i, bv128, dst + oylen, coh, cow);
       plane(ylen + clen, ch, cw, inv_c + 6 * i, bv128, dst + oylen + oclen,
             coh, cow);
