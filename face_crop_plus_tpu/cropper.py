@@ -865,6 +865,68 @@ class Cropper:
                 out[int(k)] = crops[j]
         return out, indices
 
+    def _host_yuv_rows_ok(self, file_names) -> bool:
+        """Detection-mode twin of :meth:`_yuv_crop_eligible`'s output gate.
+
+        Under host-crop with packed 4:2:0 uploads, crops can warp straight
+        from the stored planes into packed rows for the raw-data encoder —
+        but only when every output of the batch is a JPEG (4:2:0 packing is
+        the JPEG encoder's own lossy front half) and the output dims are
+        even.  The caller additionally requires ``par_model is None`` (the
+        parser reads RGB crops).
+        """
+        if os.environ.get("FCPT_YUV_CROP", "auto") == "0":
+            return False
+        if os.environ.get("FCPT_WARP_EXACT") == "1":
+            return False
+        wo, ho = self.output_size
+        if wo % 2 or ho % 2 or min(wo, ho) < 2:
+            return False
+        if not self._jpeg_bound(file_names):
+            return False
+        from .utils.native_io import warp_yuv420_available, yuv_encoder_available
+
+        return yuv_encoder_available() and warp_yuv420_available(self.padding)
+
+    def _align_crop_yuv_rows(self, rows, src_hw, indices, landmarks):
+        """Estimate+filter+warp straight from packed source rows.
+
+        The detection-mode YUV-direct crop: same numpy-twin transform fits
+        and validity filtering as ``_align_crop_filtered(prefer_native=
+        True)``, but the warp samples the stored 4:2:0 planes
+        (``native_io.warp_yuv420_batch_native``) and returns packed crop
+        rows (F', L) + filtered indices.  None when the native entry
+        points are unavailable (caller falls back to the RGB path).
+        """
+        from .ops.transform import estimate_affine_np, estimate_similarity_np
+        from .ops.yuv import packed_length
+        from .utils.native_io import warp_yuv420_batch_native
+
+        indices = np.asarray(indices, np.int64)
+        landmarks = np.asarray(landmarks, np.float32)
+        fit = estimate_affine_np if self.allow_skew else estimate_similarity_np
+        matrices, valid = fit(landmarks, np.asarray(self.landmarks_target))
+        pos = np.nonzero(np.asarray(valid))[0]
+        if len(pos) == 0:
+            return (
+                np.zeros((0, packed_length(self.output_size)), np.uint8),
+                np.zeros((0,), np.int64),
+            )
+        indices = indices[pos]
+        matrices = np.asarray(matrices, np.float32)[pos]
+        out = warp_yuv420_batch_native(
+            rows,
+            src_hw,
+            matrices,
+            indices.astype(np.int32),
+            self.output_size,
+            self.padding,
+            n_threads=max(1, (os.cpu_count() or 1) // max(1, self.num_processes)),
+        )
+        if out is None:  # pragma: no cover - gated by _host_yuv_rows_ok
+            return None
+        return out, indices
+
     def _jpeg_bound(self, file_names) -> bool:
         """Whether every output of this batch will be a JPEG file.
 
@@ -1148,6 +1210,18 @@ class Cropper:
                 pack = not host_crop and self._packed_fetch_eligible(
                     file_names, parser_handoff=device_handoff
                 )
+                # Host-crop + packed sources: warp crops straight from the
+                # stored 4:2:0 planes (r5 YUV-direct, _yuv_crop_eligible's
+                # detection-mode twin) — the full-size RGB reconstruction
+                # the r4 host-crop path paid per batch disappears, the warp
+                # moves half the bytes, and saves skip the encoder's color
+                # convert + downsample.  RGB groups/leftovers in the same
+                # batch convert via the numpy twin like the pack path.
+                host_pack = (
+                    host_crop
+                    and self.par_model is None
+                    and self._host_yuv_rows_ok(file_names)
+                )
 
                 from .utils.io import PackedYUVImage, unpack_images
 
@@ -1169,27 +1243,47 @@ class Cropper:
                                 packed_hw=packed_hw,
                             )
                             if len(lm):
-                                if packed_hw is not None:
-                                    # Warp sources: the bit-identical twin
-                                    # of the on-device RGB reconstruction
-                                    # (threaded C++, numpy fallback).
-                                    from .ops.yuv import yuv420_to_rgb_np
-                                    from .utils.native_io import (
-                                        yuv420_to_rgb_native,
+                                crops = None
+                                if packed_hw is not None and host_pack:
+                                    # YUV-direct: warp crops straight from
+                                    # the stored planes — no full-size RGB
+                                    # reconstruction, packed rows to save.
+                                    res = self._align_crop_yuv_rows(
+                                        batch[:n_true], packed_hw, loc, lm
                                     )
+                                    if res is not None:
+                                        crops, loc = res
+                                if crops is None:
+                                    if packed_hw is not None:
+                                        # Warp sources: the bit-identical
+                                        # twin of the on-device RGB
+                                        # reconstruction (threaded C++,
+                                        # numpy fallback).
+                                        from .ops.yuv import yuv420_to_rgb_np
+                                        from .utils.native_io import (
+                                            yuv420_to_rgb_native,
+                                        )
 
-                                    src = yuv420_to_rgb_native(
-                                        batch[:n_true], *packed_hw
-                                    )
-                                    if src is None:
-                                        src = yuv420_to_rgb_np(
+                                        src = yuv420_to_rgb_native(
                                             batch[:n_true], *packed_hw
                                         )
-                                else:
-                                    src = batch[:n_true]
-                                crops, loc = self._align_crop_filtered(
-                                    src, None, loc, lm, prefer_native=True
-                                )
+                                        if src is None:
+                                            src = yuv420_to_rgb_np(
+                                                batch[:n_true], *packed_hw
+                                            )
+                                    else:
+                                        src = batch[:n_true]
+                                    crops, loc = self._align_crop_filtered(
+                                        src, None, loc, lm, prefer_native=True
+                                    )
+                                    if host_pack and len(crops):
+                                        # RGB-source groups join the packed
+                                        # rows via the numpy twin (same
+                                        # move as the pack path's
+                                        # leftovers).
+                                        from .ops.yuv import rgb_to_yuv420_np
+
+                                        crops = rgb_to_yuv420_np(crops)
                             else:
                                 crops = lm.reshape(0, 1, 1, 3)
                         else:
@@ -1212,7 +1306,7 @@ class Cropper:
                     sub = unpack_images([images[i] for i in classic_ids])
                     crops2, loc2 = self._detect_crop_staged(sub)
                     if len(crops2):
-                        if pack:
+                        if pack or host_pack:
                             # Host-resident leftovers join the packed rows
                             # via the bit-identical numpy twin.
                             from .ops.yuv import rgb_to_yuv420_np

@@ -275,6 +275,59 @@ def test_cropper_yuv_strategy_all_multirow(tmp_path, rng):
         assert d.mean() < 1.0 and d.max() <= 8, n
 
 
+def test_detection_host_crop_yuv_rows_tree(tmp_path, rng, monkeypatch):
+    """Detection-mode twin: host-crop + packed uploads warp straight from
+    the stored planes into packed rows (no RGB reconstruction); tree parity
+    with the r4 reconstruct-then-RGB-warp path within the documented band.
+    """
+    import cv2
+
+    from face_crop_plus_tpu import Cropper
+    from face_crop_plus_tpu.utils.io import imread_rgb, imwrite
+
+    d = tmp_path / "src"
+    d.mkdir()
+    for i in range(6):
+        im = rng.integers(0, 255, (64, 60, 3), dtype=np.uint8)
+        imwrite(str(d / f"{i}.jpg"), cv2.GaussianBlur(im, (11, 11), 4))
+    monkeypatch.setenv("FCPT_PACK_UPLOAD", "1")
+    monkeypatch.setenv("FCPT_HOST_CROP", "1")
+    trees = {}
+    for knob in ("1", "0"):
+        monkeypatch.setenv("FCPT_YUV_CROP", knob)
+        out = tmp_path / f"out{knob}"
+        c = Cropper(
+            output_size=32, resize_size=64, det_threshold=0.6, batch_size=4,
+            device="cpu", num_processes=1,
+        )
+        c.det_model.vis_threshold = -1.0
+        c.det_model.auto_grow = False
+        c.det_model._cap_warned = True
+        assert c._host_yuv_rows_ok([f"{i}.jpg" for i in range(6)]) == (knob == "1")
+        c.process_dir(str(d), str(out), desc=None)
+        trees[knob] = {
+            f: imread_rgb(str(out / f)).astype(int) for f in os.listdir(out)
+        }
+    assert set(trees["1"]) == set(trees["0"]) and trees["1"]
+    for name in trees["1"]:
+        diff = np.abs(trees["1"][name] - trees["0"][name])
+        assert diff.mean() < 1.0 and diff.max() <= 8, name
+
+
+def test_host_yuv_rows_gates(tmp_path, rng):
+    from face_crop_plus_tpu import Cropper
+
+    c = Cropper(
+        output_size=32, det_threshold=0.6, device="cpu", num_processes=1
+    )
+    assert c._host_yuv_rows_ok(["a.jpg"])
+    assert not c._host_yuv_rows_ok(["a.png"])  # non-JPEG output in batch
+    c2 = Cropper(
+        output_size=(33, 32), det_threshold=0.6, device="cpu", num_processes=1
+    )
+    assert not c2._host_yuv_rows_ok(["a.jpg"])  # odd output width
+
+
 def test_yuv_eligibility_gates(tmp_path, rng):
     from face_crop_plus_tpu import Cropper
 
