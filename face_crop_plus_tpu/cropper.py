@@ -288,10 +288,14 @@ class Cropper:
         "auto" = on when the native warp kernel is available (the host
         numpy fallback would beat the device gather too, but the native
         kernel is what makes this a clear win on every backend).  Callers
-        additionally gate on: RGB host sources (not packed 4:2:0 uploads),
-        no enhancement (gated crops sample the device-resident enhanced
-        interim), no parser device-handoff, and ``crop_source="original"``
-        (the interim exists only on device).  Meshes keep the device path
+        additionally gate on: no enhancement (gated crops sample the
+        device-resident enhanced interim), no parser device-handoff, and
+        ``crop_source="original"`` (the interim exists only on device).
+        Packed 4:2:0 uploads compose: detection reads the device
+        reconstruction while the host warps either the numpy-twin RGB
+        reconstruction or — when :meth:`_host_yuv_rows_ok` grants it —
+        straight from the stored planes into packed crop rows for the
+        raw-data encoder.  Meshes keep the device path
         (shard-local warps scale with the mesh; the host would serialize).
         """
         env = os.environ.get("FCPT_HOST_CROP", "auto")
