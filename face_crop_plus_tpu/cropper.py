@@ -1525,6 +1525,95 @@ class Cropper:
             groups = self.par_model.predict(crops)
         return crops, indices, groups
 
+    def process_images_stream(self, batches, depth: int = 2):
+        """Pipelined serving: an iterable of request batches in, one
+        ``(crops, indices, groups)`` tuple out per batch, in order.
+
+        JAX dispatch is asynchronous but :meth:`process_images` must fetch
+        its own outputs before returning, so back-to-back calls serialize
+        the link upload, device execution and fetch — on a tunneled chip
+        each call pays the full round trip.  This generator keeps up to
+        ``depth`` request batches in flight on the device: batch k+1's
+        upload and detect dispatch are enqueued before batch k's results
+        are fetched, so steady-state throughput approaches
+        ``max(link, device, host-warp)`` instead of their sum.
+
+        Pipelining engages for the host-crop detect-only configuration
+        (no enhancement — see :meth:`_host_crop_enabled`) on uniform-shape
+        batches; any other configuration or batch degrades to a serialized
+        :meth:`process_images` call for that batch after draining the
+        in-flight queue, so results stay correct and ordered.  Parsing,
+        when configured, runs at collect time per batch.
+
+        Args:
+            batches: Iterable of uniform (N, H, W, 3) uint8 batches or
+                lists of RGB arrays (a request stream).
+            depth: Maximum batches in flight (2 covers dispatch/fetch
+                overlap; more helps only when per-batch host work varies).
+
+        Yields:
+            The :meth:`process_images` result tuple for each input batch.
+        """
+        from collections import deque
+
+        if self.det_model is None:
+            raise ValueError(
+                "process_images_stream requires an active detector "
+                "(det_threshold must be set and landmarks must be None)."
+            )
+        depth = max(1, int(depth))
+        queue: deque = deque()
+
+        def collect(item):
+            batch, n_true, handle = item
+            lm, loc = self._fused.detect_only_finish(handle)
+            if len(lm):
+                crops, indices = self._align_crop_filtered(
+                    batch[:n_true], None, loc, lm, prefer_native=True
+                )
+            else:
+                crops = np.zeros(
+                    (0,) + self.output_size[::-1] + (3,), np.uint8
+                )
+                indices = np.zeros((0,), np.int64)
+            groups = (None, None)
+            if self.par_model is not None and len(crops):
+                groups = self.par_model.predict(crops)
+            return crops, indices, groups
+
+        for images in batches:
+            if isinstance(images, np.ndarray):
+                images = list(images)
+            uniform = (
+                len(images) > 0 and len({im.shape for im in images}) == 1
+            )
+            can_stream = (
+                uniform
+                and self._fused is not None
+                and self.enh_model is None
+                and self._host_crop_enabled()
+                and self._fused_eligible(images[0].shape, len(images))
+            )
+            if not can_stream:
+                while queue:
+                    yield collect(queue.popleft())
+                yield self.process_images(images)
+                continue
+            batch = np.stack(images)
+            n_true = len(batch)
+            if n_true < self.batch_size:
+                from .utils.batching import pad_batch_to
+
+                batch, _ = pad_batch_to(batch, self.batch_size)
+            handle = self._fused.detect_only_async(
+                batch, self.resize_size, valid_n=n_true
+            )
+            queue.append((batch, n_true, handle))
+            while len(queue) > depth:
+                yield collect(queue.popleft())
+        while queue:
+            yield collect(queue.popleft())
+
     def process_dir(
         self,
         input_dir: str,

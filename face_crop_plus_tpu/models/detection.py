@@ -361,14 +361,25 @@ class RetinaFace:
         cannot diverge between them.
         """
         args = self._detect_args()
+        out, caps = dispatch(args)
+        return self.finish_growth(out, caps, args, dispatch, n_anchors, valid_n)
+
+    def finish_growth(self, out, caps, args, dispatch, n_anchors: int, valid_n: int):
+        """Completes the growth policy for an already-dispatched detect call.
+
+        The second half of :meth:`dispatch_with_growth`, split out so
+        pipelined callers (``FusedPipeline.detect_only_async``) can issue
+        the first dispatch without blocking on the ``caps`` fetch and
+        resume the (rare) growth retries only when they collect results.
+        """
         while True:
-            out, caps = dispatch(args)
             grown = self.grown_args(np.asarray(caps)[:valid_n], args, n_anchors)
             if grown is None:
                 return out
             args = grown
             self.pre_topk = args["pre_topk"]
             self.max_faces = args["max_faces"]
+            out, caps = dispatch(args)
 
     def _warn_cap(self, detail: str):
         if self._cap_warned:

@@ -1160,6 +1160,27 @@ class FusedPipeline:
             Tuple of float32 landmarks (F, 5, 2) in source coordinates and
             int64 face→image indices (F,), host-compacted.
         """
+        return self.detect_only_finish(
+            self.detect_only_async(images, interim_size, valid_n, packed_hw)
+        )
+
+    def detect_only_async(
+        self,
+        images: np.ndarray,
+        interim_size: tuple[int, int],
+        valid_n: int | None = None,
+        packed_hw: tuple[int, int] | None = None,
+    ) -> dict:
+        """Dispatch half of :meth:`detect_only`; returns an in-flight handle.
+
+        Uploads, dispatches the detect-only program and starts the async
+        device→host copies, but never blocks on a fetch — JAX dispatch is
+        asynchronous, so the call returns as soon as the work is enqueued.
+        Pipelined callers (``Cropper.process_images_stream``) dispatch
+        batch k+1 before collecting batch k, overlapping the link upload
+        and device execution with the previous batch's fetch and host
+        warp.  Pass the handle to :meth:`detect_only_finish`.
+        """
         n = images.shape[0]
         caller_valid = n if valid_n is None else min(int(valid_n), n)
         iw, ih = interim_size
@@ -1189,15 +1210,37 @@ class FusedPipeline:
             out = self._run_detect(self.det.params, imgs, ih, iw, **args)
             return out, out[-1]
 
-        face_lm, dev_valid, _caps = self.det.dispatch_with_growth(
-            dispatch, len(_grid(ih, iw)), valid_n
-        )
-        for arr in (face_lm, dev_valid):
+        args = self.det._detect_args()
+        out, caps = dispatch(args)
+        for arr in (*out, caps):
             try:
                 arr.copy_to_host_async()
             except (AttributeError, RuntimeError):  # pragma: no cover
                 pass
-        k = dev_valid.shape[0] // imgs.shape[0]
+        return {
+            "out": out,
+            "caps": caps,
+            "args": args,
+            "dispatch": dispatch,
+            "n_anchors": len(_grid(ih, iw)),
+            "valid_n": valid_n,
+            "n_padded": imgs.shape[0],
+        }
+
+    def detect_only_finish(self, handle: dict):
+        """Collects a :meth:`detect_only_async` handle → (landmarks, indices).
+
+        Blocks on the caps fetch, resumes the (rare) cap-growth retries
+        through the same policy as the synchronous path
+        (``detection.finish_growth``), then compacts the padded device
+        output at the host boundary exactly like :meth:`detect_only`.
+        """
+        valid_n = handle["valid_n"]
+        face_lm, dev_valid, _caps = self.det.finish_growth(
+            handle["out"], handle["caps"], handle["args"],
+            handle["dispatch"], handle["n_anchors"], valid_n,
+        )
+        k = dev_valid.shape[0] // handle["n_padded"]
         valid = np.asarray(dev_valid)[: valid_n * k]
         keep = np.nonzero(valid)[0]
         lm = np.asarray(face_lm)[keep].astype(np.float32)

@@ -65,6 +65,55 @@ def test_with_parsing(rng):
     assert mask is None
 
 
+def test_stream_matches_per_call(cropper, rng, monkeypatch):
+    monkeypatch.setenv("FCPT_HOST_CROP", "1")
+    batches = [
+        rng.integers(0, 255, (4, 80, 64, 3), dtype=np.uint8)
+        for _ in range(5)
+    ]
+    streamed = list(cropper.process_images_stream(batches, depth=2))
+    assert len(streamed) == 5
+    for batch, (crops, indices, groups) in zip(batches, streamed):
+        ref_crops, ref_idx, ref_groups = cropper.process_images(batch)
+        np.testing.assert_array_equal(crops, ref_crops)
+        np.testing.assert_array_equal(indices, ref_idx)
+        assert groups == ref_groups
+
+
+def test_stream_depths_agree(cropper, rng, monkeypatch):
+    monkeypatch.setenv("FCPT_HOST_CROP", "1")
+    batches = [
+        rng.integers(0, 255, (4, 80, 64, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+    d1 = list(cropper.process_images_stream(batches, depth=1))
+    d3 = list(cropper.process_images_stream(batches, depth=3))
+    for (c1, i1, _), (c3, i3, _) in zip(d1, d3):
+        np.testing.assert_array_equal(c1, c3)
+        np.testing.assert_array_equal(i1, i3)
+
+
+def test_stream_mixed_fallback(cropper, rng, monkeypatch):
+    # A ragged batch mid-stream drains the queue and serializes that
+    # batch; uniform neighbors still pipeline. Order must be preserved.
+    monkeypatch.setenv("FCPT_HOST_CROP", "1")
+    uniform = rng.integers(0, 255, (4, 80, 64, 3), dtype=np.uint8)
+    ragged = [
+        rng.integers(0, 255, (80, 64, 3), dtype=np.uint8),
+        rng.integers(0, 255, (60, 90, 3), dtype=np.uint8),
+    ]
+    out = list(cropper.process_images_stream([uniform, ragged, uniform]))
+    assert [len(o[0]) for o in out] == [4, 2, 4]
+    ref = cropper.process_images(ragged)
+    np.testing.assert_array_equal(out[1][0], ref[0])
+
+
+def test_stream_requires_detector(rng):
+    c = Cropper(det_threshold=None, enh_threshold=None, device="cpu")
+    with pytest.raises(ValueError, match="detector"):
+        list(c.process_images_stream([np.zeros((1, 32, 32, 3), np.uint8)]))
+
+
 def test_requires_detector(rng):
     c = Cropper(det_threshold=None, enh_threshold=None, device="cpu")
     with pytest.raises(ValueError, match="detector"):

@@ -488,14 +488,32 @@ def run_serving() -> dict:
         dt = time.perf_counter() - t0
         fps_list.append(round(total / dt, 1))
         log(f"[serving] pass {p}: {total} crops in {dt:.2f}s "
-            f"-> {fps_list[-1]} crops/s")
+            f"-> {fps_list[-1]} crops/s (per-call)")
 
-    value = _median(fps_list)
+    # Pipelined stream: the serving API's intended steady-state use —
+    # `depth` request batches in flight so upload/exec/fetch overlap
+    # across requests instead of serializing per call.
+    stream_list = []
+    for p in range(passes):
+        total = 0
+        t0 = time.perf_counter()
+        for crops, _idx, _g in cropper.process_images_stream(
+            (batch for _ in range(calls)), depth=2
+        ):
+            total += len(crops)
+        dt = time.perf_counter() - t0
+        stream_list.append(round(total / dt, 1))
+        log(f"[serving] pass {p}: {total} crops in {dt:.2f}s "
+            f"-> {stream_list[-1]} crops/s (stream, depth 2)")
+
+    value = _median(stream_list)
+    percall = _median(fps_list)
     profile = bench.device_profile(cropper)
     base = _ref_baseline().get("detect", {}).get("faces_per_s")
     return {
-        "metric": "crops/sec/chip (in-memory serving API process_images, "
-                  f"resident batch of {bench.BATCH})",
+        "metric": "crops/sec/chip (in-memory serving API "
+                  "process_images_stream, resident batches of "
+                  f"{bench.BATCH}, depth 2)",
         "value": value,
         "unit": "crops/sec/chip",
         "vs_baseline": round(value / base, 1) if base else None,
@@ -504,8 +522,12 @@ def run_serving() -> dict:
             "note": "reference has no in-memory API; denominator is its "
                     "directory detect pipeline on this host's CPU",
         },
-        "method": f"median of {passes} passes x {calls} calls",
-        "passes": fps_list,
+        "method": f"median of {passes} passes x {calls} calls; "
+                  "per-call = blocking process_images, stream = pipelined "
+                  "process_images_stream (depth 2)",
+        "passes": stream_list,
+        "per_call_crops_per_s": percall,
+        "per_call_passes": fps_list,
         "warmup_s": round(warmup_s, 1),
         "device_profile": profile,
         "host_contention": host_contention_block(),
