@@ -1525,7 +1525,9 @@ class Cropper:
             groups = self.par_model.predict(crops)
         return crops, indices, groups
 
-    def process_images_stream(self, batches, depth: int = 2):
+    def process_images_stream(
+        self, batches, depth: int = 2, pack_upload: bool | None = None
+    ):
         """Pipelined serving: an iterable of request batches in, one
         ``(crops, indices, groups)`` tuple out per batch, in order.
 
@@ -1550,6 +1552,16 @@ class Cropper:
                 lists of RGB arrays (a request stream).
             depth: Maximum batches in flight (2 covers dispatch/fetch
                 overlap; more helps only when per-batch host work varies).
+            pack_upload: Send detect inputs as packed YCbCr 4:2:0 rows
+                (1.5 B/px — halves upload bytes on a link-bound serving
+                deployment).  Crops still warp from the caller's RGB
+                pixels on the host, so crop fidelity is unchanged;
+                *detection* sees the 4:2:0 round trip of its input
+                (~1 intensity level — the same loss the directory
+                pipeline's packed JPEG path accepts by construction,
+                except here the sources were not already 4:2:0).
+                Default ``None`` reads ``FCPT_SERVE_PACK`` ("1" on,
+                anything else off); needs even batch H and W.
 
         Yields:
             The :meth:`process_images` result tuple for each input batch.
@@ -1562,6 +1574,8 @@ class Cropper:
                 "(det_threshold must be set and landmarks must be None)."
             )
         depth = max(1, int(depth))
+        if pack_upload is None:
+            pack_upload = os.environ.get("FCPT_SERVE_PACK") == "1"
         queue: deque = deque()
 
         def collect(item):
@@ -1605,9 +1619,18 @@ class Cropper:
                 from .utils.batching import pad_batch_to
 
                 batch, _ = pad_batch_to(batch, self.batch_size)
-            handle = self._fused.detect_only_async(
-                batch, self.resize_size, valid_n=n_true
-            )
+            h, w = batch.shape[1], batch.shape[2]
+            if pack_upload and h % 2 == 0 and w % 2 == 0:
+                from .ops.yuv import rgb_to_yuv420_np
+
+                handle = self._fused.detect_only_async(
+                    rgb_to_yuv420_np(batch), self.resize_size,
+                    valid_n=n_true, packed_hw=(h, w),
+                )
+            else:
+                handle = self._fused.detect_only_async(
+                    batch, self.resize_size, valid_n=n_true
+                )
             queue.append((batch, n_true, handle))
             while len(queue) > depth:
                 yield collect(queue.popleft())

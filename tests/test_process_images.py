@@ -108,6 +108,30 @@ def test_stream_mixed_fallback(cropper, rng, monkeypatch):
     np.testing.assert_array_equal(out[1][0], ref[0])
 
 
+def test_stream_packed_upload(cropper, rng, monkeypatch):
+    # pack_upload sends detect inputs as 4:2:0 rows; crops still warp
+    # from the caller's RGB, so faces/indices match and pixels sit
+    # within the 4:2:0 detection-input band.
+    import cv2
+
+    monkeypatch.setenv("FCPT_HOST_CROP", "1")
+    batch = np.stack([
+        cv2.GaussianBlur(
+            rng.integers(0, 255, (80, 64, 3), dtype=np.uint8), (11, 11), 4
+        )
+        for _ in range(4)
+    ])
+    plain = list(cropper.process_images_stream([batch, batch], depth=2))
+    packed = list(
+        cropper.process_images_stream([batch, batch], depth=2, pack_upload=True)
+    )
+    for (c1, i1, _), (c2, i2, _) in zip(plain, packed):
+        assert len(c1) == len(c2)
+        np.testing.assert_array_equal(i1, i2)
+        d = np.abs(c1.astype(int) - c2.astype(int))
+        assert d.mean() < 4.0
+
+
 def test_stream_requires_detector(rng):
     c = Cropper(det_threshold=None, enh_threshold=None, device="cpu")
     with pytest.raises(ValueError, match="detector"):

@@ -506,6 +506,22 @@ def run_serving() -> dict:
         log(f"[serving] pass {p}: {total} crops in {dt:.2f}s "
             f"-> {stream_list[-1]} crops/s (stream, depth 2)")
 
+    # Packed-upload stream (FCPT_SERVE_PACK semantics): detect inputs
+    # cross the link as 4:2:0 rows — half the upload bytes on a
+    # link-bound deployment; crops still warp from the resident RGB.
+    packed_list = []
+    for p in range(passes):
+        total = 0
+        t0 = time.perf_counter()
+        for crops, _idx, _g in cropper.process_images_stream(
+            (batch for _ in range(calls)), depth=2, pack_upload=True
+        ):
+            total += len(crops)
+        dt = time.perf_counter() - t0
+        packed_list.append(round(total / dt, 1))
+        log(f"[serving] pass {p}: {total} crops in {dt:.2f}s "
+            f"-> {packed_list[-1]} crops/s (stream, packed upload)")
+
     value = _median(stream_list)
     percall = _median(fps_list)
     profile = bench.device_profile(cropper)
@@ -528,6 +544,12 @@ def run_serving() -> dict:
         "passes": stream_list,
         "per_call_crops_per_s": percall,
         "per_call_passes": fps_list,
+        "packed_stream_crops_per_s": _median(packed_list),
+        "packed_stream_passes": packed_list,
+        "packed_stream_note": "pack_upload=True: 4:2:0 detect inputs "
+                              "(half the upload bytes; crops unchanged, "
+                              "detection sees its input's 4:2:0 round "
+                              "trip)",
         "warmup_s": round(warmup_s, 1),
         "device_profile": profile,
         "host_contention": host_contention_block(),
